@@ -1,0 +1,196 @@
+"""Distributed kriging: Gram-matrix assembly + solve per neighborhood.
+
+The reference kernel (krige.rs:24-118) receives a PRE-INVERTED system matrix
+and computes field = condᵀ·Mᵀ·V, error = v_jᵀ·Mᵀ·v_j; the assembly + solve
+happens upstream in GSTools (reference benches/gen_benchmark_inputs.py:35-59).
+Per the north star, this engine owns BOTH steps:
+
+* neighborhoods via the cell-ring blocking (conditioning points stamped onto
+  the 3×3 ring of each target cell at cell_size = radius);
+* one ``cogroup().applyInPandas`` per cell assembles the covariance Gram
+  matrix with the model, inverts it once, and evaluates every target in the
+  cell through the numpy kernels (kernels.calc_field_krige_and_variance) —
+  i.e. the reference's matrix kernel runs verbatim on each neighborhood.
+
+Covariance model: Gaussian, cov(h) = var·exp(−(h/len_scale)²), plus nugget
+at h=0.  Simple kriging (known mean) and ordinary kriging (Lagrange row)
+are provided.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gstools_core_spark import kernels as K
+
+
+class GaussianModel:
+    def __init__(self, var: float = 1.0, len_scale: float = 1.0, nugget: float = 0.0):
+        self.var = float(var)
+        self.len_scale = float(len_scale)
+        self.nugget = float(nugget)
+
+    def cov(self, h: np.ndarray) -> np.ndarray:
+        h = np.asarray(h, dtype=np.float64)
+        c = self.var * np.exp(-((h / self.len_scale) ** 2))
+        return np.where(h == 0.0, c + self.nugget, c)
+
+    @property
+    def sill(self) -> float:
+        return self.var + self.nugget
+
+
+def _ring_stamp(df: DataFrame, radius: float, coords: Sequence[str]) -> DataFrame:
+    cx = F.floor(F.col(coords[0]) / F.lit(radius)).cast("long")
+    cy = F.floor(F.col(coords[1]) / F.lit(radius)).cast("long")
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    return (
+        df.withColumn("_cx", cx)
+        .withColumn("_cy", cy)
+        .withColumn("_off", F.explode(offsets))
+        .withColumn("jcx", F.col("_cx") + F.col("_off.dx"))
+        .withColumn("jcy", F.col("_cy") + F.col("_off.dy"))
+        .drop("_cx", "_cy", "_off")
+    )
+
+
+def krige(
+    targets: DataFrame,
+    cond: DataFrame,
+    model: GaussianModel,
+    radius: float,
+    target_id: str = "id",
+    coords: Sequence[str] = ("x", "y"),
+    cond_val: str = "val",
+    method: str = "ordinary",
+    mean: float = 0.0,
+    max_cond: int = 512,
+) -> DataFrame:
+    """Krige ``cond`` onto ``targets`` → (id, x, y, krige_mean, krige_var, n_cond).
+
+    ``method`` — 'simple' (known ``mean``) or 'ordinary' (Lagrange).
+    Targets whose 3×3 cell ring holds no conditioning points fall back to the
+    prior (mean, sill).  Neighborhoods are capped at ``max_cond`` points
+    (nearest to the cell center) to bound the per-cell solve.
+    """
+    xc, yc = coords
+    t = targets.select(
+        F.col(target_id).alias("tid"),
+        F.col(xc).alias("tx"),
+        F.col(yc).alias("ty"),
+        F.floor(F.col(xc) / F.lit(radius)).cast("long").alias("jcx"),
+        F.floor(F.col(yc) / F.lit(radius)).cast("long").alias("jcy"),
+    )
+    c = _ring_stamp(
+        cond.select(
+            F.col(xc).alias("cx_pt"),
+            F.col(yc).alias("cy_pt"),
+            F.col(cond_val).alias("cval"),
+        ),
+        radius,
+        ("cx_pt", "cy_pt"),
+    )
+
+    var, len_scale, nugget = model.var, model.len_scale, model.nugget
+    sill = model.sill
+    simple = method == "simple"
+    mu = float(mean)
+
+    def solve_cell(key, t_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        if t_pdf.empty:
+            return pd.DataFrame(
+                columns=["tid", "tx", "ty", "krige_mean", "krige_var", "n_cond"]
+            )
+        tx = t_pdf["tx"].to_numpy(np.float64)
+        ty = t_pdf["ty"].to_numpy(np.float64)
+        if c_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "tid": t_pdf["tid"],
+                    "tx": tx,
+                    "ty": ty,
+                    "krige_mean": np.full(len(tx), mu),
+                    "krige_var": np.full(len(tx), sill),
+                    "n_cond": np.zeros(len(tx), dtype=np.int64),
+                }
+            )
+        cx = c_pdf["cx_pt"].to_numpy(np.float64)
+        cy = c_pdf["cy_pt"].to_numpy(np.float64)
+        cv = c_pdf["cval"].to_numpy(np.float64)
+        if len(cx) > max_cond:
+            # keep the max_cond conditioning points nearest the cell center
+            ccx = (key[0] + 0.5) * radius
+            ccy = (key[1] + 0.5) * radius
+            d2 = (cx - ccx) ** 2 + (cy - ccy) ** 2
+            keep = np.argpartition(d2, max_cond)[:max_cond]
+            cx, cy, cv = cx[keep], cy[keep], cv[keep]
+        nc = len(cx)
+
+        def cov(h):
+            cc = var * np.exp(-((h / len_scale) ** 2))
+            return np.where(h == 0.0, cc + nugget, cc)
+
+        dxx = np.hypot(cx[:, None] - cx[None, :], cy[:, None] - cy[None, :])
+        dxt = np.hypot(cx[:, None] - tx[None, :], cy[:, None] - ty[None, :])
+        C = cov(dxx)
+        V = cov(dxt)  # (nc, nt)
+
+        if simple:
+            # pre-invert once per neighborhood, then run the reference kernel
+            M = np.linalg.inv(C)
+            field, err = K.calc_field_krige_and_variance(M, V, cv - mu)
+            est = field + mu
+            kvar = np.maximum(sill - err, 0.0)
+        else:
+            # ordinary kriging: Lagrange-extended solve
+            A = np.empty((nc + 1, nc + 1))
+            A[:nc, :nc] = C
+            A[nc, :] = 1.0
+            A[:, nc] = 1.0
+            A[nc, nc] = 0.0
+            B = np.empty((nc + 1, V.shape[1]))
+            B[:nc] = V
+            B[nc] = 1.0
+            W = np.linalg.solve(A, B)  # weights + lagrange multiplier
+            est = W[:nc].T @ cv
+            kvar = np.maximum(
+                sill - np.einsum("ij,ij->j", W[:nc], V) - W[nc], 0.0
+            )
+        return pd.DataFrame(
+            {
+                "tid": t_pdf["tid"],
+                "tx": tx,
+                "ty": ty,
+                "krige_mean": est,
+                "krige_var": kvar,
+                "n_cond": np.full(len(tx), nc, dtype=np.int64),
+            }
+        )
+
+    out = (
+        t.groupBy("jcx", "jcy")
+        .cogroup(c.groupBy("jcx", "jcy"))
+        .applyInPandas(
+            solve_cell,
+            "tid long, tx double, ty double, krige_mean double, krige_var double, n_cond long",
+        )
+    )
+    return out.select(
+        F.col("tid").alias(target_id),
+        F.col("tx").alias(xc),
+        F.col("ty").alias(yc),
+        "krige_mean",
+        "krige_var",
+        "n_cond",
+    )

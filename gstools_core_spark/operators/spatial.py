@@ -1,0 +1,188 @@
+"""Spatial-join layer: kNN join, point-in-polygon, rasterization.
+
+Engine-layer operators mandated by the north rule (SURVEY.md §2.3) — the
+reference has no spatial joins (it is a dense-array kernel library), so these
+are built Spark-first on the cell-prefix blocking idea:
+
+* kNN join — radius-bounded: candidates from the 3×3 cell ring at
+  cell_size = radius (equi-join), then a per-query top-k window ordered by
+  (dist, base_id) for deterministic ties.
+* point-in-polygon — bounding-box prefilter (pushes into the scan) + exact
+  ray-cast test as a vectorized pandas UDF.
+* rasterize — groupBy tile aggregation of a point field back to grid cells.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+from pyspark.sql.window import Window
+
+from gstools_core_spark.functions import distance as D
+
+
+def knn_join(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    radius: float,
+    query_id: str = "qid",
+    base_id: str = "bid",
+    coords: Sequence[str] = ("x", "y"),
+    base_payload: Sequence[str] = (),
+) -> DataFrame:
+    """For each query point, its k nearest base points within ``radius``.
+
+    Output: (qid, bid, dist, rank, b_<payload>…).  Semantics are
+    radius-bounded kNN — a query with fewer than k in-radius neighbors
+    returns fewer rows (the scale-safe contract: the ring join prunes, no
+    global fallback scan).  Ties broken by base id, deterministically.
+    """
+    qcx = F.floor(F.col(coords[0]) / F.lit(radius)).cast("long")
+    qcy = F.floor(F.col(coords[1]) / F.lit(radius)).cast("long")
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        *[F.col(c).alias(f"q_{c}") for c in coords],
+        qcx.alias("cx"),
+        qcy.alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    q = (
+        q.withColumn("_off", F.explode(offsets))
+        .select(
+            "qid",
+            *[f"q_{c}" for c in coords],
+            (F.col("cx") + F.col("_off.dx")).alias("jcx"),
+            (F.col("cy") + F.col("_off.dy")).alias("jcy"),
+        )
+    )
+    bcx = F.floor(F.col(coords[0]) / F.lit(radius)).cast("long")
+    bcy = F.floor(F.col(coords[1]) / F.lit(radius)).cast("long")
+    b = base.select(
+        F.col(base_id).alias("bid"),
+        *[F.col(c).alias(f"b_{c}") for c in coords],
+        *[F.col(c).alias(f"b_{c}") for c in base_payload],
+        bcx.alias("jcx"),
+        bcy.alias("jcy"),
+    )
+    dist = D.euclid(
+        [F.col(f"q_{c}") for c in coords], [F.col(f"b_{c}") for c in coords]
+    )
+    cand = (
+        q.join(b, ["jcx", "jcy"])
+        .withColumn("dist", dist)
+        .where(F.col("dist") <= F.lit(radius))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("bid").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "bid", "dist", "rank", *[f"b_{c}" for c in base_payload])
+    )
+
+
+def knn_join_bruteforce(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    query_id: str = "qid",
+    base_id: str = "bid",
+    coords: Sequence[str] = ("x", "y"),
+) -> DataFrame:
+    """Exact unbounded kNN via cross join — test oracle / tiny inputs only."""
+    q = queries.select(
+        F.col(query_id).alias("qid"), *[F.col(c).alias(f"q_{c}") for c in coords]
+    )
+    b = base.select(
+        F.col(base_id).alias("bid"), *[F.col(c).alias(f"b_{c}") for c in coords]
+    )
+    dist = D.euclid(
+        [F.col(f"q_{c}") for c in coords], [F.col(f"b_{c}") for c in coords]
+    )
+    cand = q.crossJoin(b).withColumn("dist", dist)
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("bid").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "bid", "dist", "rank")
+    )
+
+
+def point_in_polygon(
+    points: DataFrame,
+    polygon: Sequence[tuple[float, float]],
+    x_col: str = "x",
+    y_col: str = "y",
+    out_col: str = "inside",
+) -> DataFrame:
+    """Flag points inside a simple polygon (even-odd ray cast).
+
+    Physical plan: the polygon bbox becomes a plain column predicate (pushed
+    into the parquet scan by Catalyst); only bbox survivors reach the
+    vectorized pandas UDF that runs the exact numpy ray-cast.  Points outside
+    the bbox are inside=false without touching Python.
+    """
+    vx = np.array([p[0] for p in polygon], dtype=np.float64)
+    vy = np.array([p[1] for p in polygon], dtype=np.float64)
+    xmin, xmax = float(vx.min()), float(vx.max())
+    ymin, ymax = float(vy.min()), float(vy.max())
+
+    @F.pandas_udf(BooleanType())
+    def _ray_cast(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        x = xs.to_numpy(dtype=np.float64)
+        y = ys.to_numpy(dtype=np.float64)
+        inside = np.zeros(len(x), dtype=bool)
+        nv = len(vx)
+        j = nv - 1
+        for i in range(nv):
+            xi, yi, xj, yj = vx[i], vy[i], vx[j], vy[j]
+            crosses = (yi > y) != (yj > y)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                x_at = xi + (y - yi) * (xj - xi) / (yj - yi)
+            inside ^= crosses & (x < np.where(crosses, x_at, np.inf))
+            j = i
+        return pd.Series(inside)
+
+    in_bbox = (
+        (F.col(x_col) >= xmin)
+        & (F.col(x_col) <= xmax)
+        & (F.col(y_col) >= ymin)
+        & (F.col(y_col) <= ymax)
+    )
+    return points.withColumn(
+        out_col,
+        F.when(in_bbox, _ray_cast(F.col(x_col), F.col(y_col))).otherwise(F.lit(False)),
+    )
+
+
+def rasterize(
+    points: DataFrame,
+    cell_size: float,
+    value_col: str,
+    x_col: str = "x",
+    y_col: str = "y",
+    agg: str = "avg",
+) -> DataFrame:
+    """Aggregate a point field back onto a regular tile grid
+    → (tile_x, tile_y, value, n_points)."""
+    agg_fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[agg]
+    return (
+        points.withColumn("tile_x", F.floor(F.col(x_col) / F.lit(cell_size)).cast("long"))
+        .withColumn("tile_y", F.floor(F.col(y_col) / F.lit(cell_size)).cast("long"))
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            agg_fn(F.col(value_col)).alias("value"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )

@@ -1,0 +1,333 @@
+"""Empirical variogram operators, Spark-first.
+
+Semantics match the reference kernels exactly (see kernels.py and
+/root/reference/src/variogram.rs); the physical strategy is Spark's:
+
+* unstructured/directional — cell-blocked pair self-join (pair_join.py)
+  → broadcast range-join against the tiny bins table → partial+final
+  hash aggregation per bin → single final normalize select.
+* structured — equi-join on the pooled axis (SQL-parity path) or a
+  per-column ``applyInPandas`` numpy kernel (scale path); identical results.
+
+Empty bins are preserved (reference output is dense over bins): the final
+frame starts from the bins table and LEFT-joins the aggregates, with
+normalize(0, 0) = 0 matching the reference's count==0 guard.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gstools_core_spark.functions import estimators as E
+from gstools_core_spark.operators.pair_join import pair_join
+
+
+def bins_df(spark: SparkSession, bin_edges: Sequence[float]) -> DataFrame:
+    rows = [
+        (i, float(lo), float(hi))
+        for i, (lo, hi) in enumerate(zip(bin_edges[:-1], bin_edges[1:]))
+    ]
+    return spark.createDataFrame(rows, "bin_id long, lo double, hi double")
+
+
+def _diffs_exploded(pairs: DataFrame, val_cols: Sequence[str]) -> DataFrame:
+    """One row per (pair, field) with the field difference; NaN/null diffs
+    dropped (reference NaN skip, variogram.rs:521-525).  Multi-field rows
+    share bin cells and counts (variogram.rs:399-407)."""
+    diffs = F.array(*[F.col(f"a_{v}") - F.col(f"b_{v}") for v in val_cols])
+    out = pairs.withColumn("f_diff", F.explode(diffs))
+    return out.where(F.col("f_diff").isNotNull() & ~F.isnan(F.col("f_diff")))
+
+
+def variogram_unstructured(
+    points: DataFrame,
+    bin_edges: Sequence[float],
+    val_cols: Sequence[str] = ("val",),
+    id_col: str = "id",
+    coords: Sequence[str] = ("x", "y"),
+    estimator: str = "m",
+    distance: str = "e",
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """All-pairs binned variogram → (bin_id, lo, hi, gamma, counts).
+
+    Distance 'e' = Euclid (any dim), anything else = Haversine on
+    (lat, lon) degree coords with bin edges in radians (variogram.rs:75-123).
+    """
+    spark = points.sparkSession
+    haversine = distance != "e"
+    pairs = pair_join(
+        points,
+        max_dist=float(bin_edges[-1]),
+        id_col=id_col,
+        coords=coords,
+        payload_cols=val_cols,
+        haversine=haversine,
+        salt_partitions=salt_partitions,
+    ).where(F.col("dist") >= F.lit(float(bin_edges[0])))
+
+    bins = bins_df(spark, bin_edges)
+    binned = pairs.join(
+        F.broadcast(bins),
+        (F.col("dist") >= F.col("lo")) & (F.col("dist") < F.col("hi")),
+        "inner",
+    )
+    per_field = _diffs_exploded(binned, val_cols)
+    agg = per_field.groupBy("bin_id").agg(
+        F.sum(E.estimate(F.col("f_diff"), estimator)).alias("vsum"),
+        F.count(F.lit(1)).alias("counts"),
+    )
+    out = (
+        bins.join(agg, "bin_id", "left")
+        .select(
+            "bin_id",
+            "lo",
+            "hi",
+            E.normalize(
+                F.coalesce(F.col("vsum"), F.lit(0.0)),
+                F.coalesce(F.col("counts"), F.lit(0)),
+                estimator,
+            ).alias("gamma"),
+            F.coalesce(F.col("counts"), F.lit(0)).cast("long").alias("counts"),
+        )
+    )
+    return out
+
+
+def dir_test_col(
+    coords: Sequence[str],
+    dir_cols: Sequence[str],
+    angles_tol: float,
+    bandwidth: float,
+):
+    """Direction-cone pass predicate as a Column (variogram.rs:243-291).
+
+    ``coords`` are point coord names (a_/b_ prefixed pair columns assumed),
+    ``dir_cols`` the direction component column names on the joined frame.
+    """
+    s_prod = None
+    for c, dc in zip(coords, dir_cols):
+        term = (F.col(f"a_{c}") - F.col(f"b_{c}")) * F.col(dc)
+        s_prod = term if s_prod is None else s_prod + term
+
+    passed = F.lit(True)
+    if bandwidth > 0.0:
+        b_acc = None
+        for c, dc in zip(coords, dir_cols):
+            r = (F.col(f"a_{c}") - F.col(f"b_{c}")) - s_prod * F.col(dc)
+            term = r * r
+            b_acc = term if b_acc is None else b_acc + term
+        passed = passed & (F.sqrt(b_acc) < F.lit(bandwidth))
+
+    angle = F.abs(s_prod) / F.col("dist")
+    # dist == 0 always passes; angle >= 1 passes (numerical guard)
+    reject = (
+        (F.col("dist") > 0.0)
+        & (angle < 1.0)
+        & (F.acos(angle) >= F.lit(angles_tol))
+    )
+    return passed & ~reject
+
+
+def variogram_directional(
+    points: DataFrame,
+    bin_edges: Sequence[float],
+    directions: Sequence[Sequence[float]],
+    angles_tol: float = math.pi / 8.0,
+    bandwidth: float = -1.0,
+    separate_dirs: bool = False,
+    val_cols: Sequence[str] = ("val",),
+    id_col: str = "id",
+    coords: Sequence[str] = ("x", "y"),
+    estimator: str = "m",
+) -> DataFrame:
+    """Directional variogram → (dir_id, bin_id, lo, hi, gamma, counts).
+
+    Euclid only (the reference kernel hard-codes Euclid,
+    variogram.rs:383).  ``separate_dirs=True`` credits each pair to the
+    lowest-index passing direction only (variogram.rs:409-415) via a
+    row_number window ordered by dir_id.
+    """
+    if angles_tol <= 0:
+        raise ValueError("tolerance for angle search masks must be > 0")
+    spark = points.sparkSession
+    d = len(coords)
+    dir_rows = [
+        (i, *[float(v) for v in vec]) for i, vec in enumerate(directions)
+    ]
+    dir_cols = [f"d{k}" for k in range(d)]
+    dirs = spark.createDataFrame(
+        dir_rows, "dir_id long, " + ", ".join(f"{c} double" for c in dir_cols)
+    )
+
+    pairs = pair_join(
+        points,
+        max_dist=float(bin_edges[-1]),
+        id_col=id_col,
+        coords=coords,
+        payload_cols=val_cols,
+    ).where(F.col("dist") >= F.lit(float(bin_edges[0])))
+
+    with_dirs = pairs.crossJoin(F.broadcast(dirs)).where(
+        dir_test_col(coords, dir_cols, angles_tol, bandwidth)
+    )
+    if separate_dirs:
+        w = Window.partitionBy(f"a_{id_col}", f"b_{id_col}").orderBy("dir_id")
+        with_dirs = (
+            with_dirs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    bins = bins_df(spark, bin_edges)
+    binned = with_dirs.join(
+        F.broadcast(bins),
+        (F.col("dist") >= F.col("lo")) & (F.col("dist") < F.col("hi")),
+        "inner",
+    )
+    per_field = _diffs_exploded(binned, val_cols)
+    agg = per_field.groupBy("dir_id", "bin_id").agg(
+        F.sum(E.estimate(F.col("f_diff"), estimator)).alias("vsum"),
+        F.count(F.lit(1)).alias("counts"),
+    )
+    frame = dirs.select("dir_id").crossJoin(bins)
+    return frame.join(agg, ["dir_id", "bin_id"], "left").select(
+        "dir_id",
+        "bin_id",
+        "lo",
+        "hi",
+        E.normalize(
+            F.coalesce(F.col("vsum"), F.lit(0.0)),
+            F.coalesce(F.col("counts"), F.lit(0)),
+            estimator,
+        ).alias("gamma"),
+        F.coalesce(F.col("counts"), F.lit(0)).cast("long").alias("counts"),
+    )
+
+
+def variogram_structured(
+    grid: DataFrame,
+    i_col: str = "i",
+    j_col: str = "j",
+    val_col: str = "val",
+    mask_col: str | None = None,
+    estimator: str = "m",
+) -> DataFrame:
+    """Structured-grid variogram by axis-0 lag → (lag, gamma).
+
+    SQL-parity path: self equi-join on the pooled axis ``j`` with
+    ``b.i > a.i`` (lag = difference), masked pairs dropped when EITHER
+    endpoint is masked (variogram.rs:220-223).  γ(0) = 0 and the output is
+    dense over lags 0..nx-1 (variogram.rs:144-146).
+    """
+    spark = grid.sparkSession
+    nx = grid.agg(F.max(i_col)).collect()[0][0] + 1
+
+    cols = [i_col, j_col, val_col] + ([mask_col] if mask_col else [])
+    a = grid.select(*[F.col(c).alias(f"a_{c}") for c in cols])
+    b = grid.select(*[F.col(c).alias(f"b_{c}") for c in cols])
+    pairs = a.join(
+        b,
+        (F.col(f"a_{j_col}") == F.col(f"b_{j_col}"))
+        & (F.col(f"b_{i_col}") > F.col(f"a_{i_col}")),
+    )
+    if mask_col:
+        pairs = pairs.where(~F.col(f"a_{mask_col}") & ~F.col(f"b_{mask_col}"))
+
+    diff = F.col(f"a_{val_col}") - F.col(f"b_{val_col}")
+    agg = (
+        pairs.select(
+            (F.col(f"b_{i_col}") - F.col(f"a_{i_col}")).cast("long").alias("lag"),
+            E.estimate(diff, estimator).alias("est"),
+        )
+        .groupBy("lag")
+        .agg(F.sum("est").alias("vsum"), F.count(F.lit(1)).alias("counts"))
+    )
+    lags = spark.range(int(nx)).select(F.col("id").alias("lag"))
+    return lags.join(agg, "lag", "left").select(
+        "lag",
+        F.when(F.col("lag") == 0, F.lit(0.0))
+        .otherwise(
+            E.normalize(
+                F.coalesce(F.col("vsum"), F.lit(0.0)),
+                F.coalesce(F.col("counts"), F.lit(0)),
+                estimator,
+            )
+        )
+        .alias("gamma"),
+    )
+
+
+def variogram_structured_fast(
+    grid: DataFrame,
+    i_col: str = "i",
+    j_col: str = "j",
+    val_col: str = "val",
+    mask_col: str | None = None,
+    estimator: str = "m",
+) -> DataFrame:
+    """Scale path for the structured variogram: one ``applyInPandas`` per
+    pooled-axis column computes all lags with numpy (O(nx²) per column, no
+    pair shuffle), then a tiny groupBy(lag) merges partials.
+
+    Equivalent to :func:`variogram_structured`; the reference parallelizes
+    over lags (variogram.rs:153), we parallelize over the pooled axis —
+    the distributed axis is the big one (SURVEY.md §4.2).
+    """
+    spark = grid.sparkSession
+    nx = grid.agg(F.max(i_col)).collect()[0][0] + 1
+    est = estimator
+
+    def per_column(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("i")
+        f = pdf["val"].to_numpy(dtype=np.float64)
+        ii = pdf["i"].to_numpy(dtype=np.int64)
+        dense = np.full(nx, np.nan)
+        dense[ii] = f
+        if "masked" in pdf.columns:
+            dm = np.zeros(nx, dtype=bool)
+            dm[ii] = pdf["masked"].to_numpy(dtype=bool)
+            dense = np.where(dm, np.nan, dense)
+        lags, vsums, cnts = [], [], []
+        for k in range(1, nx):
+            diff = dense[: nx - k] - dense[k:]
+            ok = ~np.isnan(diff)
+            lags.append(k)
+            if est == "c":
+                vsums.append(float(np.sum(np.sqrt(np.abs(diff[ok])))))
+            else:
+                vsums.append(float(np.sum(diff[ok] * diff[ok])))
+            cnts.append(int(np.count_nonzero(ok)))
+        return pd.DataFrame({"lag": lags, "vsum": vsums, "counts": cnts})
+
+    sel = [F.col(i_col).alias("i"), F.col(j_col).alias("j"), F.col(val_col).alias("val")]
+    if mask_col:
+        sel.append(F.col(mask_col).alias("masked"))
+    partials = (
+        grid.select(*sel)
+        .groupBy("j")
+        .applyInPandas(per_column, "lag long, vsum double, counts long")
+    )
+    agg = partials.groupBy("lag").agg(
+        F.sum("vsum").alias("vsum"), F.sum("counts").alias("counts")
+    )
+    lags = spark.range(int(nx)).select(F.col("id").alias("lag"))
+    return lags.join(agg, "lag", "left").select(
+        "lag",
+        F.when(F.col("lag") == 0, F.lit(0.0))
+        .otherwise(
+            E.normalize(
+                F.coalesce(F.col("vsum"), F.lit(0.0)),
+                F.coalesce(F.col("counts"), F.lit(0)),
+                estimator,
+            )
+        )
+        .alias("gamma"),
+    )
