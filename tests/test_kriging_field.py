@@ -1,0 +1,127 @@
+"""Kriging + field summation: Spark paths vs local numpy references."""
+
+import numpy as np
+
+from gstools_core_spark import kernels as K
+from gstools_core_spark.operators.field import summate_field
+from gstools_core_spark.operators.kriging import GaussianModel, krige
+
+RNG = np.random.default_rng(19031977)
+
+
+def _df(spark, ids, x, y, val=None):
+    if val is None:
+        rows = [(int(i), float(a), float(b)) for i, a, b in zip(ids, x, y)]
+        return spark.createDataFrame(rows, "id long, x double, y double")
+    rows = [
+        (int(i), float(a), float(b), float(v)) for i, a, b, v in zip(ids, x, y, val)
+    ]
+    return spark.createDataFrame(rows, "id long, x double, y double, val double")
+
+
+def _local_krige(model, method, mean, tx, ty, cx, cy, cv, radius):
+    """Driver-side reference: for each target, use cond points from the 3x3
+    cell ring (same neighborhood definition as the Spark op)."""
+    out_mean = np.empty(len(tx))
+    out_var = np.empty(len(tx))
+    tcx = np.floor(tx / radius).astype(np.int64)
+    tcy = np.floor(ty / radius).astype(np.int64)
+    ccx = np.floor(cx / radius).astype(np.int64)
+    ccy = np.floor(cy / radius).astype(np.int64)
+    for t in range(len(tx)):
+        sel = (np.abs(ccx - tcx[t]) <= 1) & (np.abs(ccy - tcy[t]) <= 1)
+        if not sel.any():
+            out_mean[t], out_var[t] = mean, model.sill
+            continue
+        sx, sy, sv = cx[sel], cy[sel], cv[sel]
+        nc = len(sx)
+        C = model.cov(np.hypot(sx[:, None] - sx[None, :], sy[:, None] - sy[None, :]))
+        V = model.cov(np.hypot(sx - tx[t], sy - ty[t]))[:, None]
+        if method == "simple":
+            M = np.linalg.inv(C)
+            f, e = K.calc_field_krige_and_variance(M, V, sv - mean)
+            out_mean[t] = f[0] + mean
+            out_var[t] = max(model.sill - e[0], 0.0)
+        else:
+            A = np.empty((nc + 1, nc + 1))
+            A[:nc, :nc] = C
+            A[nc, :] = 1.0
+            A[:, nc] = 1.0
+            A[nc, nc] = 0.0
+            B = np.vstack([V, [[1.0]]])
+            W = np.linalg.solve(A, B)
+            out_mean[t] = W[:nc, 0] @ sv
+            out_var[t] = max(model.sill - W[:nc, 0] @ V[:, 0] - W[nc, 0], 0.0)
+    return out_mean, out_var
+
+
+def test_krige_simple_and_ordinary(spark):
+    n_cond, n_targ = 60, 80
+    cx = RNG.uniform(-10, 10, n_cond)
+    cy = RNG.uniform(-10, 10, n_cond)
+    cv = np.sin(cx * 0.3) + np.cos(cy * 0.2) + RNG.normal(0, 0.1, n_cond)
+    tx = RNG.uniform(-10, 10, n_targ)
+    ty = RNG.uniform(-10, 10, n_targ)
+
+    cond = _df(spark, range(n_cond), cx, cy, cv)
+    targets = _df(spark, range(n_targ), tx, ty)
+    model = GaussianModel(var=1.0, len_scale=3.0, nugget=0.01)
+
+    for method, mean in [("simple", 0.5), ("ordinary", 0.0)]:
+        got = (
+            krige(targets, cond, model, radius=5.0, method=method, mean=mean)
+            .orderBy("id")
+            .toPandas()
+        )
+        want_mean, want_var = _local_krige(
+            model, method, mean, tx, ty, cx, cy, cv, radius=5.0
+        )
+        np.testing.assert_allclose(got["krige_mean"], want_mean, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(got["krige_var"], want_var, rtol=1e-8, atol=1e-10)
+
+
+def test_krige_empty_neighborhood_prior(spark):
+    cond = _df(spark, [0], [100.0], [100.0], [5.0])
+    targets = _df(spark, [0], [0.0], [0.0])
+    model = GaussianModel(var=2.0, len_scale=1.0, nugget=0.5)
+    got = krige(targets, cond, model, radius=1.0, method="ordinary").collect()[0]
+    assert got["n_cond"] == 0
+    assert got["krige_mean"] == 0.0
+    assert got["krige_var"] == model.sill
+
+
+COV_SAMPLES_2D = RNG.normal(size=(2, 50))
+Z1 = RNG.normal(size=50)
+Z2 = RNG.normal(size=50)
+SF = np.abs(RNG.normal(size=50))
+
+
+def test_summate_field_variants(spark):
+    n = 200
+    x = RNG.uniform(-5, 5, n)
+    y = RNG.uniform(-5, 5, n)
+    pts = _df(spark, range(n), x, y)
+    pos = np.vstack([x, y])
+
+    got = summate_field(pts, COV_SAMPLES_2D, Z1, Z2).orderBy("id").toPandas()
+    np.testing.assert_allclose(
+        got["u"], K.summate(COV_SAMPLES_2D, Z1, Z2, pos), rtol=1e-12
+    )
+
+    got_f = (
+        summate_field(pts, COV_SAMPLES_2D, Z1, Z2, variant="fourier", spectrum_factor=SF)
+        .orderBy("id")
+        .toPandas()
+    )
+    np.testing.assert_allclose(
+        got_f["u"], K.summate_fourier(SF, COV_SAMPLES_2D, Z1, Z2, pos), rtol=1e-12
+    )
+
+    got_i = (
+        summate_field(pts, COV_SAMPLES_2D, Z1, Z2, variant="incompr")
+        .orderBy("id")
+        .toPandas()
+    )
+    want = K.summate_incompr(COV_SAMPLES_2D, Z1, Z2, pos)
+    np.testing.assert_allclose(got_i["u_0"], want[0], rtol=1e-12)
+    np.testing.assert_allclose(got_i["u_1"], want[1], rtol=1e-12)

@@ -1,0 +1,115 @@
+"""Spatial layer tests: cell index, kNN join, point-in-polygon, rasterize."""
+
+import numpy as np
+import pandas as pd
+
+from gstools_core_spark.functions import cells as C
+from gstools_core_spark.operators import spatial as S
+
+RNG = np.random.default_rng(7)
+
+
+def test_morton_spark_matches_numpy(spark):
+    ix = RNG.integers(0, 1 << 20, size=200).astype(np.int64)
+    iy = RNG.integers(0, 1 << 20, size=200).astype(np.int64)
+    pdf = pd.DataFrame({"ix": ix, "iy": iy})
+    df = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+
+    got = (
+        df.select(C.morton_col(F.col("ix"), F.col("iy")).alias("m"))
+        .toPandas()["m"]
+        .to_numpy()
+    )
+    want = C.morton_np(ix, iy)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_geo_cell_hierarchy(spark):
+    """Parent at res-1 is cell >> 2 (prefix semantics)."""
+    lat = RNG.uniform(-89.0, 89.0, size=500)
+    lon = RNG.uniform(-179.0, 179.0, size=500)
+    c_fine = C.geo_cell_np(lat, lon, 12)
+    c_coarse = C.geo_cell_np(lat, lon, 11)
+    np.testing.assert_array_equal(c_fine >> 2, c_coarse)
+    # spark column agrees with numpy
+    pdf = pd.DataFrame({"lat": lat, "lon": lon})
+    df = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+
+    got = (
+        df.select(C.geo_cell_col(F.col("lat"), F.col("lon"), 12).alias("c"))
+        .toPandas()["c"]
+        .to_numpy()
+    )
+    np.testing.assert_array_equal(got, c_fine)
+
+
+def _cloud_df(spark, n, seed, id_name):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-10, 10, n)
+    y = rng.uniform(-10, 10, n)
+    rows = [(i, float(x[i]), float(y[i])) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, f"{id_name} long, x double, y double"),
+        x,
+        y,
+    )
+
+
+def test_knn_join_matches_bruteforce(spark):
+    q, qx, qy = _cloud_df(spark, 40, 1, "qid")
+    b, bx, by = _cloud_df(spark, 300, 2, "bid")
+    radius = 4.0
+    k = 5
+    got = S.knn_join(q, b, k=k, radius=radius).collect()
+    got_set = {(r["qid"], r["bid"], r["rank"]) for r in got}
+
+    # numpy oracle: radius-bounded top-k with (dist, bid) ordering
+    want_set = set()
+    for qi in range(40):
+        d = np.sqrt((bx - qx[qi]) ** 2 + (by - qy[qi]) ** 2)
+        order = sorted(
+            [(float(d[bi]), bi) for bi in range(300) if d[bi] <= radius]
+        )
+        for rank, (dist, bi) in enumerate(order[:k], start=1):
+            want_set.add((qi, bi, rank))
+    assert got_set == want_set
+
+
+def test_point_in_polygon(spark):
+    df, x, y = _cloud_df(spark, 500, 3, "id")
+    # non-convex polygon (arrow shape)
+    poly = [(-5.0, -5.0), (5.0, -5.0), (0.0, 0.0), (5.0, 5.0), (-5.0, 5.0)]
+    got = S.point_in_polygon(df, poly).orderBy("id").toPandas()
+
+    vx = np.array([p[0] for p in poly])
+    vy = np.array([p[1] for p in poly])
+
+    def ray_cast(px, py):
+        inside = False
+        j = len(vx) - 1
+        for i in range(len(vx)):
+            if (vy[i] > py) != (vy[j] > py):
+                x_at = vx[i] + (py - vy[i]) * (vx[j] - vx[i]) / (vy[j] - vy[i])
+                if px < x_at:
+                    inside = not inside
+            j = i
+        return inside
+
+    want = np.array([ray_cast(x[i], y[i]) for i in range(500)])
+    np.testing.assert_array_equal(got["inside"].to_numpy(), want)
+    assert want.sum() > 10  # sanity: polygon actually contains points
+
+
+def test_rasterize(spark):
+    df, x, y = _cloud_df(spark, 200, 4, "id")
+    from pyspark.sql import functions as F
+
+    pts = df.withColumn("val", F.col("x") + F.col("y"))
+    got = S.rasterize(pts, cell_size=5.0, value_col="val").collect()
+    total = sum(r["n_points"] for r in got)
+    assert total == 200
+    for r in got:
+        mask = (np.floor(x / 5.0) == r["tile_x"]) & (np.floor(y / 5.0) == r["tile_y"])
+        np.testing.assert_allclose(r["value"], np.mean(x[mask] + y[mask]), rtol=1e-12)
