@@ -1,0 +1,159 @@
+"""Headline benchmark: runs the engine's flagship operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced end-to-end with the noop sink (no collect bottleneck,
+no scan pruning of the measured work).  The headline metric is the
+variogram + kriging-join throughput in pages(rows)/sec per BASELINE.json;
+`value` is total wall seconds across headline queries (unit: sec).
+
+Scaling evidence (N vs 4N executors, sandbox substitution): run
+``python tools/scaling.py`` which executes this file at local[8] and
+local[32] and writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gstools_core_spark.functions import cells as C  # noqa: E402
+from gstools_core_spark.functions import points as P  # noqa: E402
+from gstools_core_spark.operators import spatial as S  # noqa: E402
+from gstools_core_spark.operators import variogram as V  # noqa: E402
+from gstools_core_spark.operators.dedup import minhash_dedup  # noqa: E402
+from gstools_core_spark.operators.field import summate_field  # noqa: E402
+from gstools_core_spark.operators.kriging import GaussianModel, krige  # noqa: E402
+from gstools_core_spark.operators.similarity import cosine_topk  # noqa: E402
+from gstools_core_spark.session import get_session  # noqa: E402
+from gstools_core_spark.sources.pages import geocode, synthesize_pages  # noqa: E402
+
+BENCH_EDGES = [0.0, 0.1, 0.2, 0.3, 0.4, 0.5]
+BENCH_RADIUS = 0.5
+
+_rng = np.random.default_rng(19031977)
+BMODES = _rng.normal(size=(2, 1000))
+BZ1 = _rng.normal(size=1000)
+BZ2 = _rng.normal(size=1000)
+
+
+def _event_points(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.col("event_id").alias("id"),
+        P.x_col("event_id").alias("x"),
+        P.y_col("event_id").alias("y"),
+        F.col("value").alias("val"),
+    )
+
+
+def bench_variogram(spark, sf_dir):
+    return V.variogram_unstructured(_event_points(spark, sf_dir), BENCH_EDGES)
+
+
+def bench_variogram_directional(spark, sf_dir):
+    return V.variogram_directional(
+        _event_points(spark, sf_dir), BENCH_EDGES, [(1.0, 0.0), (0.0, 1.0)]
+    )
+
+
+def bench_krige(spark, sf_dir):
+    pts = _event_points(spark, sf_dir)
+    cond = pts.where(F.col("id") % 10 == 0)
+    model = GaussianModel(var=1.0, len_scale=0.3, nugget=0.01)
+    return krige(pts, cond, model, radius=BENCH_RADIUS, method="ordinary", max_cond=256)
+
+
+def bench_knn(spark, sf_dir):
+    pts = _event_points(spark, sf_dir)
+    q = pts.where(F.col("id") % 10 == 0)
+    return S.knn_join(q, pts, k=5, radius=BENCH_RADIUS, query_id="id", base_id="id")
+
+
+def bench_summate(spark, sf_dir):
+    return summate_field(_event_points(spark, sf_dir), BMODES, BZ1, BZ2)
+
+
+def bench_pages_tiles(spark, sf_dir):
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    pages = geocode(synthesize_pages(spark, n))
+    return (
+        pages.withColumn("cell_id", C.geo_cell_col(F.col("lat"), F.col("lon"), 8))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.avg(F.length("text")).alias("mean_len"))
+    )
+
+
+def bench_minhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup(docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=8, shingle_k=3)
+
+
+def bench_ann(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 10 == 0)
+    return cosine_topk(q, emb, k=10, query_id="vec_id", base_id="vec_id")
+
+
+QUERIES = {
+    "variogram": bench_variogram,
+    "variogram_directional": bench_variogram_directional,
+    "krige": bench_krige,
+    "knn": bench_knn,
+    "summate": bench_summate,
+    "pages_tiles": bench_pages_tiles,
+    "minhash_dedup": bench_minhash,
+    "ann_topk": bench_ann,
+}
+
+# the two north-rule throughput queries (pages/sec numerator = input rows)
+HEADLINE = ("variogram", "krige")
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = subset.split(",") if subset else list(QUERIES)
+
+    spark = get_session("gstools-core-spark-bench", cores=cpus, shuffle_partitions=max(cpus * 2, 16))
+    n_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    times = {}
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    headline = [n for n in HEADLINE if n in times]
+    total = sum(times[n] for n in headline) or sum(times.values())
+    pages_per_sec = round(n_rows * len(headline) / total, 1) if headline else None
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "variogram_krige_throughput",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "cpus": cpus,
+                "input_rows": n_rows,
+                "pages_per_sec": pages_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

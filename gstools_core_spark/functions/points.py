@@ -20,23 +20,28 @@ AX, BX, MX = 48271, 11, 2000
 AY, BY, MY = 69621, 7, 2000
 
 
+# NOTE: the integer expression is CAST to DOUBLE *before* the division so
+# DuckDB (whose bare `100.0` literal is DECIMAL, giving exact decimal
+# arithmetic) performs the same two double roundings Spark does — the
+# derived coordinates must be bitwise identical across engines.
+
 def sql_x(key: str = "doc_id") -> str:
     """x in [-10, 9.99] on a 0.01 lattice."""
-    return f"((({key} * {AX} + {BX}) % {MX}) / 100.0 - 10.0)"
+    return f"(CAST(({key} * {AX} + {BX}) % {MX} AS DOUBLE) / 100.0 - 10.0)"
 
 
 def sql_y(key: str = "doc_id") -> str:
-    return f"((({key} * {AY} + {BY}) % {MY}) / 100.0 - 10.0)"
+    return f"(CAST(({key} * {AY} + {BY}) % {MY} AS DOUBLE) / 100.0 - 10.0)"
 
 
 def sql_lat(key: str = "doc_id") -> str:
     """lat in [-60, 59.9] (bounded away from poles for ring-join safety)."""
-    return f"((({key} * {AX} + {BX}) % 1200) / 10.0 - 60.0)"
+    return f"(CAST(({key} * {AX} + {BX}) % 1200 AS DOUBLE) / 10.0 - 60.0)"
 
 
 def sql_lon(key: str = "doc_id") -> str:
     """lon in [-170, 169.9]."""
-    return f"((({key} * {AY} + {BY}) % 3400) / 10.0 - 170.0)"
+    return f"(CAST(({key} * {AY} + {BY}) % 3400 AS DOUBLE) / 10.0 - 170.0)"
 
 
 def x_col(key: str = "doc_id") -> Column:

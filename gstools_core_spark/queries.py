@@ -1,0 +1,886 @@
+"""Query registry: every operator exposed as (spark_fn, oracle_sql) pairs.
+
+Each Spark callable takes (spark, sf_dir) and returns a DataFrame; the oracle
+is ANSI SQL DuckDB runs on the same parquet tables.  Correctness contract
+(driver compares row count + schema + order-insensitive value hash):
+
+* all float outputs are ``round(x, N)`` on BOTH sides;
+* all derived coordinates come from integer mul/mod arithmetic and distances
+  from mul/add/sqrt only → bitwise-identical doubles in both engines, so
+  half-open bin membership and window ranks agree exactly;
+* column names/types are aligned explicitly (BIGINT/DOUBLE casts in SQL).
+
+The oracle is intentionally the *naive* formulation (brute-force pair joins,
+window functions); the Spark side runs the engine's scale-path operators
+(cell-blocked joins, broadcast bins, pandas-UDF kernels) — differential
+testing of the physical strategy against the declarative spec.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gstools_core_spark.functions import cells as C
+from gstools_core_spark.functions import estimators as E
+from gstools_core_spark.functions import points as P
+from gstools_core_spark.functions import text as T
+from gstools_core_spark.operators import dedup as DD
+from gstools_core_spark.operators import similarity as SIM
+from gstools_core_spark.operators import spatial as S
+from gstools_core_spark.operators import variogram as V
+from gstools_core_spark.operators.field import summate_field
+from gstools_core_spark.operators.kriging import GaussianModel, krige
+from gstools_core_spark.operators.multimodal import extract_features, synthesize_media
+
+# ---------------------------------------------------------------------------
+# shared constants (used by BOTH the Spark impls and the SQL oracles)
+# ---------------------------------------------------------------------------
+
+BIN_EDGES = [float(v) for v in range(0, 9)]  # 8 unit bins over [-10,10]² points
+HAV_EDGES = [0.0, 0.025, 0.05, 0.075, 0.1]  # radians
+DIRECTIONS = [(1.0, 0.0), (0.0, 1.0)]
+DIRECTIONS_SEP = [(1.0, 0.0), (math.sqrt(0.5), math.sqrt(0.5))]
+ANGLES_TOL = math.pi / 8.0
+BANDWIDTH_SEP = 2.0
+KNN_K, KNN_RADIUS = 5, 3.0
+POLY = [(-5.3, -4.7), (6.1, -5.2), (5.7, 4.9), (-4.9, 5.8)]  # CCW, off-lattice
+RASTER_CS = 2.0
+TILE_RES = 6
+NEARDUP_TAU = 0.37
+VAL_SQL = "CAST(n_chars AS DOUBLE) / 100.0"
+
+_rng = np.random.default_rng(424242)
+MODES = _rng.normal(size=(2, 8)).round(6)
+MZ1 = _rng.normal(size=8).round(6)
+MZ2 = _rng.normal(size=8).round(6)
+MSF = np.abs(_rng.normal(size=8)).round(6)
+# incompressible projector per mode: p = e1 − k·k1/|k|² (field.rs:148-152)
+_K2 = MODES[0] / (MODES[0] ** 2 + MODES[1] ** 2)
+PROJ = np.vstack([1.0 - MODES[0] * _K2, -MODES[1] * _K2])
+
+
+def _prep(spark: SparkSession) -> None:
+    """Defensive session settings (the driver owns the session)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _docs_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        P.x_col("doc_id").alias("x"),
+        P.y_col("doc_id").alias("y"),
+        F.expr(VAL_SQL).alias("val"),
+    )
+
+
+SQL_PTS = f"""pts AS (
+  SELECT doc_id AS id,
+         {P.sql_x('doc_id')} AS x,
+         {P.sql_y('doc_id')} AS y,
+         {VAL_SQL} AS val
+  FROM documents
+)"""
+
+
+def _sql_bins(edges) -> str:
+    rows = ", ".join(
+        f"({i}, CAST({lo!r} AS DOUBLE), CAST({hi!r} AS DOUBLE))"
+        for i, (lo, hi) in enumerate(zip(edges[:-1], edges[1:]))
+    )
+    return f"bins(bin_id, lo, hi) AS (VALUES {rows})"
+
+
+SQL_PAIRS = """pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+         a.val - b.val AS fd,
+         a.x - b.x AS ddx, a.y - b.y AS ddy,
+         sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist
+  FROM pts a JOIN pts b ON a.id < b.id
+)"""
+
+
+def _sql_variogram(edges, estimator="m", est_expr=None) -> str:
+    est = est_expr or E.sql_estimate("fd", estimator)
+    gamma = E.sql_normalize("coalesce(vsum, 0.0)", "coalesce(cnt, 0)", estimator)
+    return f"""WITH {SQL_PTS}, {SQL_PAIRS}, {_sql_bins(edges)},
+agg AS (
+  SELECT bin_id, sum({est}) AS vsum, count(*) AS cnt
+  FROM pairs JOIN bins ON dist >= lo AND dist < hi
+  GROUP BY bin_id
+)
+SELECT CAST(b.bin_id AS BIGINT) AS bin_id, b.lo, b.hi,
+       round({gamma}, 9) AS gamma,
+       CAST(coalesce(cnt, 0) AS BIGINT) AS counts
+FROM bins b LEFT JOIN agg ON b.bin_id = agg.bin_id"""
+
+
+def _variogram_out(df: DataFrame) -> DataFrame:
+    return df.select(
+        "bin_id", "lo", "hi", F.round("gamma", 9).alias("gamma"), "counts"
+    )
+
+
+# --- 1-3: unstructured variograms ------------------------------------------
+
+def q_variogram_unstructured(spark, sf_dir):
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir)
+    return _variogram_out(V.variogram_unstructured(pts, BIN_EDGES, estimator="m"))
+
+
+def q_variogram_cressie(spark, sf_dir):
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir)
+    return _variogram_out(V.variogram_unstructured(pts, BIN_EDGES, estimator="c"))
+
+
+def q_variogram_haversine(spark, sf_dir):
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = docs.select(
+        F.col("doc_id").alias("id"),
+        P.lat_col("doc_id").alias("lat"),
+        P.lon_col("doc_id").alias("lon"),
+        F.expr(VAL_SQL).alias("val"),
+    )
+    out = V.variogram_unstructured(
+        pts, HAV_EDGES, coords=("lat", "lon"), distance="h"
+    )
+    return _variogram_out(out)
+
+
+def _sql_variogram_haversine() -> str:
+    from gstools_core_spark.functions.distance import sql_haversine
+
+    hav = sql_haversine("a.lat", "a.lon", "b.lat", "b.lon")
+    gamma = E.sql_normalize("coalesce(vsum, 0.0)", "coalesce(cnt, 0)", "m")
+    return f"""WITH pts AS (
+  SELECT doc_id AS id, {P.sql_lat('doc_id')} AS lat, {P.sql_lon('doc_id')} AS lon,
+         {VAL_SQL} AS val
+  FROM documents
+),
+pairs AS (
+  SELECT a.val - b.val AS fd, {hav} AS dist
+  FROM pts a JOIN pts b ON a.id < b.id
+), {_sql_bins(HAV_EDGES)},
+agg AS (
+  SELECT bin_id, sum(fd * fd) AS vsum, count(*) AS cnt
+  FROM pairs JOIN bins ON dist >= lo AND dist < hi
+  GROUP BY bin_id
+)
+SELECT CAST(b.bin_id AS BIGINT) AS bin_id, b.lo, b.hi,
+       round({gamma}, 9) AS gamma,
+       CAST(coalesce(cnt, 0) AS BIGINT) AS counts
+FROM bins b LEFT JOIN agg ON b.bin_id = agg.bin_id"""
+
+
+# --- 4-5: directional -------------------------------------------------------
+
+def q_variogram_directional(spark, sf_dir):
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir)
+    out = V.variogram_directional(
+        pts, BIN_EDGES, DIRECTIONS, angles_tol=ANGLES_TOL, bandwidth=-1.0
+    )
+    return out.select(
+        "dir_id", "bin_id", "lo", "hi", F.round("gamma", 9).alias("gamma"), "counts"
+    )
+
+
+def q_variogram_directional_sep(spark, sf_dir):
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir)
+    out = V.variogram_directional(
+        pts,
+        BIN_EDGES,
+        DIRECTIONS_SEP,
+        angles_tol=ANGLES_TOL,
+        bandwidth=BANDWIDTH_SEP,
+        separate_dirs=True,
+    )
+    return out.select(
+        "dir_id", "bin_id", "lo", "hi", F.round("gamma", 9).alias("gamma"), "counts"
+    )
+
+
+def _sql_dirs(directions) -> str:
+    rows = ", ".join(
+        f"({i}, CAST({dx!r} AS DOUBLE), CAST({dy!r} AS DOUBLE))"
+        for i, (dx, dy) in enumerate(directions)
+    )
+    return f"dirs(dir_id, dx, dy) AS (VALUES {rows})"
+
+
+def _sql_dir_test(angles_tol: float, bandwidth: float) -> str:
+    s = "(ddx * dx + ddy * dy)"
+    cond = []
+    if bandwidth > 0.0:
+        band = (
+            f"sqrt((ddx - {s} * dx) * (ddx - {s} * dx)"
+            f" + (ddy - {s} * dy) * (ddy - {s} * dy))"
+        )
+        cond.append(f"{band} < CAST({bandwidth!r} AS DOUBLE)")
+    # least() clamp: DuckDB evaluates acos eagerly (vectorized, no
+    # short-circuit) and errors outside [-1,1]; the angle<1 guard keeps
+    # the clamped value irrelevant to the predicate.
+    angle = f"(abs({s}) / dist)"
+    cond.append(
+        f"NOT (dist > 0.0 AND {angle} < 1.0"
+        f" AND acos(least({angle}, 1.0)) >= CAST({angles_tol!r} AS DOUBLE))"
+    )
+    return " AND ".join(cond)
+
+
+def _sql_variogram_directional(directions, angles_tol, bandwidth, separate) -> str:
+    gamma = E.sql_normalize("coalesce(vsum, 0.0)", "coalesce(cnt, 0)", "m")
+    sep_filter = (
+        "QUALIFY row_number() OVER (PARTITION BY a_id, b_id ORDER BY dir_id) = 1"
+        if separate
+        else ""
+    )
+    return f"""WITH {SQL_PTS}, {SQL_PAIRS}, {_sql_dirs(directions)}, {_sql_bins(BIN_EDGES)},
+passing AS (
+  SELECT a_id, b_id, dir_id, fd, dist FROM pairs, dirs
+  WHERE {_sql_dir_test(angles_tol, bandwidth)}
+  {sep_filter}
+),
+agg AS (
+  SELECT dir_id, bin_id, sum(fd * fd) AS vsum, count(*) AS cnt
+  FROM passing JOIN bins ON dist >= lo AND dist < hi
+  GROUP BY dir_id, bin_id
+)
+SELECT CAST(d.dir_id AS BIGINT) AS dir_id, CAST(b.bin_id AS BIGINT) AS bin_id,
+       b.lo, b.hi, round({gamma}, 9) AS gamma,
+       CAST(coalesce(cnt, 0) AS BIGINT) AS counts
+FROM dirs d CROSS JOIN bins b
+LEFT JOIN agg ON agg.dir_id = d.dir_id AND agg.bin_id = b.bin_id"""
+
+
+# --- 6-7: structured --------------------------------------------------------
+
+GRID_NX = 100
+SQL_GRID = f"""grid AS (
+  SELECT event_id % {GRID_NX} AS i,
+         CAST(floor(event_id / {GRID_NX}.0) AS BIGINT) AS j,
+         value AS val,
+         ((event_id * 31) % 10) < 3 AS masked
+  FROM events
+)"""
+
+
+def _events_grid(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        (F.col("event_id") % GRID_NX).alias("i"),
+        F.floor(F.col("event_id") / F.lit(float(GRID_NX))).cast("long").alias("j"),
+        F.col("value").alias("val"),
+        ((F.col("event_id") * 31) % 10 < 3).alias("masked"),
+    )
+
+
+def q_variogram_structured(spark, sf_dir):
+    _prep(spark)
+    out = V.variogram_structured(_events_grid(spark, sf_dir))
+    return out.select("lag", F.round("gamma", 9).alias("gamma"))
+
+
+def q_variogram_ma_structured(spark, sf_dir):
+    _prep(spark)
+    out = V.variogram_structured_fast(_events_grid(spark, sf_dir), mask_col="masked")
+    return out.select("lag", F.round("gamma", 9).alias("gamma"))
+
+
+def _sql_variogram_structured(masked: bool) -> str:
+    gamma = E.sql_normalize("coalesce(vsum, 0.0)", "coalesce(cnt, 0)", "m")
+    mask_pred = "AND NOT a.masked AND NOT b.masked" if masked else ""
+    return f"""WITH {SQL_GRID},
+agg AS (
+  SELECT b.i - a.i AS lag,
+         sum((a.val - b.val) * (a.val - b.val)) AS vsum,
+         count(*) AS cnt
+  FROM grid a JOIN grid b ON a.j = b.j AND b.i > a.i {mask_pred}
+  GROUP BY b.i - a.i
+)
+SELECT CAST(l.range AS BIGINT) AS lag,
+       CASE WHEN l.range = 0 THEN 0.0 ELSE round({gamma}, 9) END AS gamma
+FROM range(0, {GRID_NX}) l LEFT JOIN agg ON agg.lag = l.range"""
+
+
+# --- 8: multi-field ---------------------------------------------------------
+
+VAL2_SQL = "CAST(doc_id % 7 AS DOUBLE) + 0.5"
+
+
+def q_variogram_multifield(spark, sf_dir):
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = docs.select(
+        F.col("doc_id").alias("id"),
+        P.x_col("doc_id").alias("x"),
+        P.y_col("doc_id").alias("y"),
+        F.expr(VAL_SQL).alias("val"),
+        F.expr(VAL2_SQL).alias("val2"),
+    )
+    out = V.variogram_unstructured(pts, BIN_EDGES, val_cols=("val", "val2"))
+    return _variogram_out(out)
+
+
+def _sql_variogram_multifield() -> str:
+    gamma = E.sql_normalize("coalesce(vsum, 0.0)", "coalesce(cnt, 0)", "m")
+    return f"""WITH pts AS (
+  SELECT doc_id AS id, {P.sql_x('doc_id')} AS x, {P.sql_y('doc_id')} AS y,
+         {VAL_SQL} AS val, {VAL2_SQL} AS val2
+  FROM documents
+),
+pairs AS (
+  SELECT u.fd AS fd,
+         sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist
+  FROM pts a JOIN pts b ON a.id < b.id,
+       unnest([a.val - b.val, a.val2 - b.val2]) AS u(fd)
+), {_sql_bins(BIN_EDGES)},
+agg AS (
+  SELECT bin_id, sum(fd * fd) AS vsum, count(*) AS cnt
+  FROM pairs JOIN bins ON dist >= lo AND dist < hi
+  GROUP BY bin_id
+)
+SELECT CAST(b.bin_id AS BIGINT) AS bin_id, b.lo, b.hi,
+       round({gamma}, 9) AS gamma, CAST(coalesce(cnt, 0) AS BIGINT) AS counts
+FROM bins b LEFT JOIN agg ON b.bin_id = agg.bin_id"""
+
+
+# --- 9: tile assignment (morton cells) --------------------------------------
+
+def q_tile_assignment(spark, sf_dir):
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = docs.select(
+        P.lat_col("doc_id").alias("lat"), P.lon_col("doc_id").alias("lon")
+    )
+    return (
+        pts.select(C.geo_cell_col(F.col("lat"), F.col("lon"), TILE_RES).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_spread_steps(col: str) -> list[str]:
+    masks = [
+        (16, 281470681808895),
+        (8, 71777214294589695),
+        (4, 1085102592571150095),
+        (2, 3689348814741910323),
+        (1, 6148914691236517205),
+    ]
+    return [f"(({col} | ({col} << {s})) & {m})" for s, m in masks]
+
+
+def _sql_tile_assignment() -> str:
+    n = 1 << TILE_RES
+    cs_lon, cs_lat = 360.0 / n, 180.0 / n
+    sql = f"""WITH q AS (
+  SELECT least(CAST(floor(({P.sql_lon('doc_id')} - (-180.0)) / {cs_lon!r}) AS BIGINT), {n - 1}) AS sx,
+         least(CAST(floor(({P.sql_lat('doc_id')} - (-90.0)) / {cs_lat!r}) AS BIGINT), {n - 1}) AS sy
+  FROM documents
+)"""
+    masks = [
+        (16, 281470681808895),
+        (8, 71777214294589695),
+        (4, 1085102592571150095),
+        (2, 3689348814741910323),
+        (1, 6148914691236517205),
+    ]
+    prev = "q"
+    for step, (s, m) in enumerate(masks):
+        sql += f""",
+s{step} AS (
+  SELECT ((sx | (sx << {s})) & {m}) AS sx, ((sy | (sy << {s})) & {m}) AS sy
+  FROM {prev}
+)"""
+        prev = f"s{step}"
+    sql += f"""
+SELECT (sx | (sy << 1)) AS cell_id, CAST(count(*) AS BIGINT) AS n_docs
+FROM {prev} GROUP BY 1"""
+    return sql
+
+
+# --- 10: kNN join -----------------------------------------------------------
+
+def q_knn_join(spark, sf_dir):
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir)
+    q = pts.where(F.col("id") % 10 == 0)
+    out = S.knn_join(q, pts, k=KNN_K, radius=KNN_RADIUS, query_id="id", base_id="id")
+    return out.select(
+        "qid", "bid", F.round("dist", 9).alias("dist"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _sql_knn_join() -> str:
+    return f"""WITH {SQL_PTS},
+q AS (SELECT * FROM pts WHERE id % 10 = 0),
+cand AS (
+  SELECT q.id AS qid, b.id AS bid,
+         sqrt((q.x - b.x) * (q.x - b.x) + (q.y - b.y) * (q.y - b.y)) AS dist
+  FROM q JOIN pts b ON true
+),
+sel AS (
+  SELECT qid, bid, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, bid ASC) AS rank
+  FROM cand WHERE dist <= {KNN_RADIUS!r}
+)
+SELECT qid, bid, round(dist, 9) AS dist, CAST(rank AS BIGINT) AS rank
+FROM sel WHERE rank <= {KNN_K}"""
+
+
+# --- 11: point-in-polygon ----------------------------------------------------
+
+def q_point_in_polygon(spark, sf_dir):
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir).select("id", "x", "y")
+    return S.point_in_polygon(pts, POLY).select("id", "inside")
+
+
+def _sql_point_in_polygon() -> str:
+    # convex CCW polygon → inside ⇔ strictly left of every edge;
+    # equals the engine's even-odd ray cast for non-boundary points
+    conds = []
+    nv = len(POLY)
+    for i in range(nv):
+        x1, y1 = POLY[i]
+        x2, y2 = POLY[(i + 1) % nv]
+        conds.append(
+            f"(({x2!r} - {x1!r}) * (y - {y1!r}) - ({y2!r} - {y1!r}) * (x - {x1!r})) > 0.0"
+        )
+    pred = " AND ".join(conds)
+    return f"""WITH {SQL_PTS}
+SELECT id, ({pred}) AS inside FROM pts"""
+
+
+# --- 12: rasterize ----------------------------------------------------------
+
+def q_rasterize(spark, sf_dir):
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir)
+    out = S.rasterize(pts, RASTER_CS, "val")
+    return out.select(
+        "tile_x", "tile_y", F.round("value", 9).alias("value"),
+        F.col("n_points").cast("long").alias("n_points"),
+    )
+
+
+def _sql_rasterize() -> str:
+    return f"""WITH {SQL_PTS}
+SELECT CAST(floor(x / {RASTER_CS!r}) AS BIGINT) AS tile_x,
+       CAST(floor(y / {RASTER_CS!r}) AS BIGINT) AS tile_y,
+       round(sum(val) / count(*), 9) AS value,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM pts GROUP BY 1, 2"""
+
+
+# --- 13: kriging (rows-only: np.linalg per neighborhood, not SQL) ------------
+
+def q_krige_ordinary(spark, sf_dir):
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir)
+    cond = pts.where(F.col("id") % 5 == 0)
+    model = GaussianModel(var=1.0, len_scale=2.0, nugget=0.01)
+    out = krige(pts, cond, model, radius=3.0, method="ordinary")
+    return out.select(
+        "id",
+        F.round("krige_mean", 6).alias("krige_mean"),
+        F.round("krige_var", 6).alias("krige_var"),
+        "n_cond",
+    )
+
+
+# --- 14-16: field summation --------------------------------------------------
+
+def _modes_sql_values(with_sf: bool = False, with_proj: bool = False) -> str:
+    rows = []
+    for m in range(MODES.shape[1]):
+        vals = [MODES[0, m], MODES[1, m], MZ1[m], MZ2[m]]
+        if with_sf:
+            vals.append(MSF[m])
+        if with_proj:
+            vals += [PROJ[0, m], PROJ[1, m]]
+        rows.append("(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")")
+    cols = "kx, ky, z1, z2" + (", sf" if with_sf else "") + (", p0, p1" if with_proj else "")
+    return f"modes({cols}) AS (VALUES {', '.join(rows)})"
+
+
+def q_summate(spark, sf_dir):
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir).select("id", "x", "y")
+    out = summate_field(pts, MODES, MZ1, MZ2)
+    return out.select("id", F.round("u", 6).alias("u"))
+
+
+def q_summate_fourier(spark, sf_dir):
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir).select("id", "x", "y")
+    out = summate_field(pts, MODES, MZ1, MZ2, variant="fourier", spectrum_factor=MSF)
+    return out.select("id", F.round("u", 6).alias("u"))
+
+
+def q_summate_incompr(spark, sf_dir):
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir).select("id", "x", "y")
+    out = summate_field(pts, MODES, MZ1, MZ2, variant="incompr")
+    return out.select(
+        "id", F.round("u_0", 6).alias("u_0"), F.round("u_1", 6).alias("u_1")
+    )
+
+
+def _sql_summate(variant: str) -> str:
+    if variant == "scalar":
+        term = "z1 * cos(kx * x + ky * y) + z2 * sin(kx * x + ky * y)"
+        modes = _modes_sql_values()
+        sel = f"round(sum({term}), 6) AS u"
+    elif variant == "fourier":
+        term = "sf * (z1 * cos(kx * x + ky * y) + z2 * sin(kx * x + ky * y))"
+        modes = _modes_sql_values(with_sf=True)
+        sel = f"round(sum({term}), 6) AS u"
+    else:  # incompr
+        z12 = "(z1 * cos(kx * x + ky * y) + z2 * sin(kx * x + ky * y))"
+        modes = _modes_sql_values(with_proj=True)
+        sel = f"round(sum(p0 * {z12}), 6) AS u_0, round(sum(p1 * {z12}), 6) AS u_1"
+    return f"""WITH {SQL_PTS}, {modes}
+SELECT id, {sel}
+FROM pts CROSS JOIN modes
+GROUP BY id"""
+
+
+# --- 17: exact dedup ---------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = DD.exact_dedup(docs, ["text"], "doc_id")
+    return out.select(F.col("doc_id").alias("keep_id"), F.col("dup_count"))
+
+
+SQL_DEDUP_EXACT = """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY text"""
+
+
+# --- 18: n-gram jaccard pairs -------------------------------------------------
+
+NGRAM_K, NGRAM_TAU = 3, 0.08
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = DD.ngram_jaccard_pairs(docs, "text", "doc_id", k=NGRAM_K, threshold=NGRAM_TAU)
+    return out.select("a_id", "b_id", F.round("jaccard", 9).alias("jaccard"))
+
+
+def _sql_ngram_jaccard() -> str:
+    k = NGRAM_K
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= {k}
+         THEN list_transform(range(1, len(t) - {k} + 2),
+                             i -> array_to_string(t[i:i+{k - 1}], ' '))
+         ELSE [array_to_string(t, ' ')] END)) AS s
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 9) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {NGRAM_TAU!r}"""
+
+
+# --- 19-20: minhash / simhash (rows-only: xxhash64 not in DuckDB) -------------
+
+def q_minhash_dedup(spark, sf_dir):
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = DD.minhash_dedup(docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=8, shingle_k=3)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def q_simhash_neardup(spark, sf_dir):
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashed = DD.simhash64(docs, "text")
+    out = DD.simhash_near_dups(hashed, "doc_id", max_hamming=16)
+    return out.select("a_id", "b_id", "hamming")
+
+
+# --- 21-23: text analysis -----------------------------------------------------
+
+def q_token_count(spark, sf_dir):
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""SELECT doc_id,
+       {T.sql_token_count('text')} AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc
+FROM documents"""
+
+
+def q_lang_id(spark, sf_dir):
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _sql_lang_id() -> str:
+    scores = {
+        lang: " + ".join(T.sql_occurrence_count("text", m) for m in markers)
+        for lang, markers in T.LANG_MARKERS.items()
+    }
+    score_sel = ", ".join(f"({v}) AS s_{k}" for k, v in scores.items())
+    best = "greatest(" + ", ".join(f"s_{k}" for k in scores) + ")"
+    cases = " ".join(
+        f"WHEN s_{k} > 0 AND s_{k} = {best} THEN '{k}'" for k in T.LANG_MARKERS
+    )
+    return f"""WITH sc AS (SELECT doc_id, {score_sel} FROM documents)
+SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_guess FROM sc"""
+
+
+def q_quality_score(spark, sf_dir):
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", F.round(T.quality_score(F.col("text")), 9).alias("quality")
+    )
+
+
+def _sql_quality_score() -> str:
+    n_tok = f"CAST({T.sql_token_count('text')} AS DOUBLE)"
+    mean_tok_len = f"((CAST(length(text) AS DOUBLE) - ({n_tok} - 1)) / {n_tok})"
+    len_comp = f"(1.0 - least(abs({mean_tok_len} - 4.5) / 4.5, 1.0))"
+    occ_the = T.sql_occurrence_count("text", " the ")
+    stop_comp = f"least(CAST({occ_the} AS DOUBLE) / ({n_tok} / 50.0 + 1.0), 1.0)"
+    size_comp = "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+    return f"""SELECT doc_id,
+       round(0.4 * {len_comp} + 0.3 * {stop_comp} + 0.3 * {size_comp}, 9) AS quality
+FROM documents"""
+
+
+# --- 24-25: embedding similarity ----------------------------------------------
+
+def q_ann_cosine_topk(spark, sf_dir):
+    _prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 20 == 0)
+    out = SIM.cosine_topk_sql(q, emb, k=5, query_id="vec_id", base_id="vec_id")
+    return out.select(
+        "qid", "bid", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_ANN_TOPK = """WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS qid, b.vec_id AS bid, sum(q.v * b.v) AS dot
+  FROM e q JOIN e b ON q.idx = b.idx AND q.vec_id != b.vec_id
+  WHERE q.vec_id % 20 = 0
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, bid, dot / (nq.nrm * nb.nrm) AS cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY dot / (nq.nrm * nb.nrm) DESC, bid ASC) AS rank
+  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nb ON nb.vec_id = bid
+)
+SELECT qid, bid, round(cos_sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= 5"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    _prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select(
+        F.col("vec_id"),
+        F.posexplode(F.col("embedding")).alias("idx", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    norms = e.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    a = e.select(F.col("vec_id").alias("a_id"), "idx", F.col("v").alias("av"))
+    b = e.select(F.col("vec_id").alias("b_id"), "idx", F.col("v").alias("bv"))
+    dots = (
+        a.join(b, "idx")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("av") * F.col("bv")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("a_id"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("b_id"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn("cos_sim", F.col("dot") / (F.col("na") * F.col("nb")))
+        .where(F.col("cos_sim") >= NEARDUP_TAU)
+        .select("a_id", "b_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+SQL_EMBEDDING_NEARDUP = f"""WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v * b.v) AS dot
+  FROM e a JOIN e b ON a.idx = b.idx AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id
+WHERE dot / (na.nrm * nb.nrm) >= {NEARDUP_TAU!r}"""
+
+
+def q_lsh_ann(spark, sf_dir):
+    _prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    out = SIM.lsh_ann(q, emb, k=3, dim=64, query_id="vec_id", base_id="vec_id", n_bits=12)
+    return out.select("qid", "bid", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
+# --- 26-28: relational / temporal ---------------------------------------------
+
+def q_events_stats(spark, sf_dir):
+    _prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+        F.round(F.sum("value") / F.count(F.lit(1)), 6).alias("value_avg"),
+    )
+
+
+SQL_EVENTS_STATS = """SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS value_sum,
+       round(sum(value) / count(*), 6) AS value_avg
+FROM events GROUP BY event_type"""
+
+
+def q_events_windowed(spark, sf_dir):
+    _prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+
+
+SQL_EVENTS_WINDOWED = """SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM events GROUP BY 1, 2"""
+
+
+def q_seg_order_stats(spark, sf_dir):
+    _prep(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+SQL_SEG_ORDER_STATS = """SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment"""
+
+
+# --- 29: multimodal (rows-only; decode stubbed, plumbing real) ------------------
+
+def q_multimodal_features(spark, sf_dir):
+    _prep(spark)
+    media = synthesize_media(spark, 200)
+    out = extract_features(media, feature_dim=8, mode="fake")
+    return out.select(
+        "media_id",
+        "kind",
+        F.round(F.element_at("features", 1), 9).alias("f0"),
+        F.round(F.element_at("features", 8), 9).alias("f7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def registry() -> dict[str, tuple]:
+    """name → (spark_fn, oracle_sql | None)."""
+    return {
+        "variogram_unstructured": (q_variogram_unstructured, _sql_variogram(BIN_EDGES, "m")),
+        "variogram_cressie": (q_variogram_cressie, _sql_variogram(BIN_EDGES, "c")),
+        "variogram_haversine": (q_variogram_haversine, _sql_variogram_haversine()),
+        "variogram_directional": (
+            q_variogram_directional,
+            _sql_variogram_directional(DIRECTIONS, ANGLES_TOL, -1.0, False),
+        ),
+        "variogram_directional_sep": (
+            q_variogram_directional_sep,
+            _sql_variogram_directional(DIRECTIONS_SEP, ANGLES_TOL, BANDWIDTH_SEP, True),
+        ),
+        "variogram_structured": (q_variogram_structured, _sql_variogram_structured(False)),
+        "variogram_ma_structured": (q_variogram_ma_structured, _sql_variogram_structured(True)),
+        "variogram_multifield": (q_variogram_multifield, _sql_variogram_multifield()),
+        "tile_assignment": (q_tile_assignment, _sql_tile_assignment()),
+        "knn_join": (q_knn_join, _sql_knn_join()),
+        "point_in_polygon": (q_point_in_polygon, _sql_point_in_polygon()),
+        "rasterize": (q_rasterize, _sql_rasterize()),
+        "krige_ordinary": (q_krige_ordinary, None),
+        "summate": (q_summate, _sql_summate("scalar")),
+        "summate_fourier": (q_summate_fourier, _sql_summate("fourier")),
+        "summate_incompr": (q_summate_incompr, _sql_summate("incompr")),
+        "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+        "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
+        "minhash_dedup": (q_minhash_dedup, None),
+        "simhash_neardup": (q_simhash_neardup, None),
+        "token_count": (q_token_count, SQL_TOKEN_COUNT),
+        "lang_id": (q_lang_id, _sql_lang_id()),
+        "quality_score": (q_quality_score, _sql_quality_score()),
+        "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
+        "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+        "lsh_ann": (q_lsh_ann, None),
+        "events_stats": (q_events_stats, SQL_EVENTS_STATS),
+        "events_windowed": (q_events_windowed, SQL_EVENTS_WINDOWED),
+        "seg_order_stats": (q_seg_order_stats, SQL_SEG_ORDER_STATS),
+        "multimodal_features": (q_multimodal_features, None),
+    }

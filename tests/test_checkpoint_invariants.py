@@ -1,0 +1,121 @@
+"""Ops-hardening tests: checkpoint/resume, per-cell metrics, byte-identical
+text invariant, deterministic geocoding/tiling, streaming windows,
+multimodal plumbing."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gstools_core_spark.functions import cells as C
+from gstools_core_spark.operators.checkpoint import CheckpointedRun, emit_cell_metrics
+from gstools_core_spark.operators.multimodal import extract_features, sample_frames, synthesize_media
+from gstools_core_spark.sources.pages import geocode, synthesize_pages
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    src = spark.range(1000).withColumn("val", F.col("id") * 2)
+    run = CheckpointedRun(str(tmp_path / "out"), n_buckets=8)
+
+    def transform(df):
+        return df.withColumn("val3", F.col("val") * 3)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run.run(src, transform, "id", fail_after=3)
+    assert len(run.completed_buckets()) == 3
+
+    # resume: only the remaining 5 buckets are processed, none re-done
+    stats = run.run(src, transform, "id")
+    assert stats["buckets_processed"] == 5
+    assert stats["buckets_skipped"] == 3
+
+    out = run.read_output(spark)
+    assert out.count() == 1000
+    assert out.select(F.sum("val3")).collect()[0][0] == sum(i * 6 for i in range(1000))
+
+    # idempotent: a third run does nothing
+    stats2 = run.run(src, transform, "id")
+    assert stats2["buckets_processed"] == 0
+
+
+def test_cell_metrics(spark, tmp_path):
+    pages = geocode(synthesize_pages(spark, 500))
+    tiled = pages.withColumn(
+        "cell_id", C.geo_cell_col(F.col("lat"), F.col("lon"), 4)
+    )
+    metrics = emit_cell_metrics(tiled, "cell_id", str(tmp_path / "metrics"), "lat")
+    back = spark.read.json(str(tmp_path / "metrics"))
+    assert back.select(F.sum("n_rows")).collect()[0][0] == 500
+    assert metrics.count() == back.count()
+
+
+def test_text_byte_identical_through_pipeline(spark):
+    """North-rule invariant: `text` passes through untouched per url."""
+    pages = synthesize_pages(spark, 300)
+    before = {
+        r["url"]: hashlib.sha256(r["text"].encode()).hexdigest()
+        for r in pages.select("url", "text").collect()
+    }
+    piped = geocode(pages).withColumn(
+        "cell_id", C.geo_cell_col(F.col("lat"), F.col("lon"), 6)
+    ).withColumn("n_chars", F.length("text"))
+    after = {
+        r["url"]: hashlib.sha256(r["text"].encode()).hexdigest()
+        for r in piped.select("url", "text").collect()
+    }
+    assert before == after
+
+
+def test_geocode_tile_assignment_deterministic(spark):
+    """Same pages → exactly the same (lat, lon, cell) on every evaluation."""
+    p1 = geocode(synthesize_pages(spark, 400)).withColumn(
+        "cell_id", C.geo_cell_col(F.col("lat"), F.col("lon"), 8)
+    )
+    p2 = geocode(synthesize_pages(spark, 400)).withColumn(
+        "cell_id", C.geo_cell_col(F.col("lat"), F.col("lon"), 8)
+    )
+    a = {r["url"]: (r["lat"], r["lon"], r["cell_id"]) for r in p1.collect()}
+    b = {r["url"]: (r["lat"], r["lon"], r["cell_id"]) for r in p2.collect()}
+    assert a == b
+    # lat/lon bounded
+    assert all(-90 <= v[0] <= 90 and -180 <= v[1] <= 180 for v in a.values())
+
+
+def test_pages_lang_skew(spark):
+    pages = synthesize_pages(spark, 2000)
+    counts = {r["lang"]: r["n"] for r in pages.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["en"] > 0.4 * 2000  # skewed head exercises hot cells
+    assert set(counts) == {"en", "de", "fr", "es", "pt", "zh"}
+
+
+def test_streaming_windowed_matches_batch(spark, sf_dir):
+    from gstools_core_spark.streaming.events import windowed_event_stats
+
+    got = windowed_event_stats(spark, f"{sf_dir}/events.parquet", "1 hour", "2 hours")
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("value_sum"))
+    )
+    g = {(str(r["window_start"]), r["event_type"]): (r["n_events"], r["value_sum"]) for r in got.collect()}
+    b = {(str(r["window_start"]), r["event_type"]): (r["n_events"], r["value_sum"]) for r in batch.collect()}
+    assert g == b
+
+
+def test_multimodal_plumbing(spark):
+    media = synthesize_media(spark, 60)
+    feats = extract_features(media, feature_dim=8, mode="fake")
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(len(r["features"]) == 8 for r in rows)
+    # deterministic
+    again = {r["media_id"]: r["features"] for r in extract_features(media, 8, "fake").collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in rows)
+
+    frames = sample_frames(media, every_n=24)
+    vid = media.where(F.col("kind") == "video").count()
+    assert frames.select("media_id").distinct().count() == vid
+
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        extract_features(media, 8, "real").collect()

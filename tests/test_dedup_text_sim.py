@@ -1,0 +1,124 @@
+"""Dedup, text-analysis, and similarity operators on constructed cases."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gstools_core_spark.functions import text as T
+from gstools_core_spark.operators import dedup as DD
+from gstools_core_spark.operators import similarity as SIM
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+OTHER = "completely different words describing completely different things entirely here now"
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark, [(0, BASE), (1, BASE), (2, OTHER), (3, BASE)])
+    out = DD.exact_dedup(df, ["text"], "doc_id").orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["dup_count"]) for r in out] == [(0, 3), (2, 1)]
+
+
+def test_minhash_dedup_drops_near_duplicate(spark):
+    df = _docs(spark, [(0, BASE), (1, NEAR), (2, OTHER)])
+    kept = DD.minhash_dedup(
+        df, "text", "doc_id", threshold=0.5, num_hashes=32, bands=16, shingle_k=3
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 2]  # near-dup 1 dropped, canonical 0 kept
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = _docs(spark, [(0, BASE), (1, NEAR), (2, OTHER)])
+    pairs = DD.ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.3).collect()
+    assert {(r["a_id"], r["b_id"]) for r in pairs} == {(0, 1)}
+    # jaccard of shingle sets computed by hand: 12 shingles each, 10 shared
+    got = pairs[0]["jaccard"]
+    tok = BASE.split()
+    sh0 = {" ".join(tok[i : i + 3]) for i in range(len(tok) - 2)}
+    tok1 = NEAR.split()
+    sh1 = {" ".join(tok1[i : i + 3]) for i in range(len(tok1) - 2)}
+    want = len(sh0 & sh1) / len(sh0 | sh1)
+    assert abs(got - want) < 1e-12
+
+
+def test_simhash_near_dups(spark):
+    df = _docs(spark, [(0, BASE), (1, NEAR), (2, OTHER)])
+    hashed = DD.simhash64(df, "text")
+    rows = hashed.collect()
+    sims = {r["doc_id"]: r["simhash"] for r in rows}
+    ham01 = bin((sims[0] ^ sims[1]) & ((1 << 64) - 1)).count("1")
+    ham02 = bin((sims[0] ^ sims[2]) & ((1 << 64) - 1)).count("1")
+    assert ham01 < ham02  # near-dup much closer in hamming space
+    dups = DD.simhash_near_dups(hashed, "doc_id", max_hamming=ham01).collect()
+    assert any(r["a_id"] == 0 and r["b_id"] == 1 for r in dups)
+
+
+def test_token_count_and_quality(spark):
+    df = _docs(spark, [(0, "a bb ccc"), (1, "single")])
+    out = df.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n"),
+        T.quality_score(F.col("text")).alias("q"),
+    ).orderBy("doc_id").collect()
+    assert out[0]["n"] == 3
+    assert out[1]["n"] == 1
+    assert 0.0 <= out[0]["q"] <= 1.0
+
+
+def test_lang_id(spark):
+    df = _docs(
+        spark,
+        [
+            (0, "this is the house and the garden of the king"),
+            (1, "das ist der mann und der hund und die katze"),
+            (2, "c'est le chat et la maison et le chien ici"),
+            (3, "xyzzy plugh"),
+        ],
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in df.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess")).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "fr"
+    assert out[3] == "und"
+
+
+def test_fingerprint_deterministic(spark):
+    df = _docs(spark, [(0, BASE), (1, BASE), (2, OTHER)])
+    out = {r["doc_id"]: r["fp"] for r in df.select("doc_id", T.fingerprint64(F.col("text")).alias("fp")).collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+
+
+def _emb_df(spark, vecs, id0=0):
+    rows = [(id0 + i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_paths_agree(spark):
+    rng = np.random.default_rng(3)
+    base_v = rng.normal(size=(50, 8))
+    base = _emb_df(spark, base_v)
+    queries = _emb_df(spark, base_v[:5], id0=0)
+
+    sql_out = SIM.cosine_topk_sql(queries, base, k=3, query_id="vec_id", base_id="vec_id")
+    bf_out = SIM.cosine_topk(queries, base, k=3, query_id="vec_id", base_id="vec_id")
+    s = {(r["qid"], r["bid"], r["rank"]) for r in sql_out.collect()}
+    b = {(r["qid"], r["bid"], r["rank"]) for r in bf_out.collect()}
+    assert s == b
+    assert len(s) == 15
+
+
+def test_lsh_ann_finds_identical_vector(spark):
+    rng = np.random.default_rng(4)
+    base_v = rng.normal(size=(100, 16))
+    base = _emb_df(spark, base_v)
+    # query 0 is identical to base 7
+    qv = base_v[7:8]
+    q = _emb_df(spark, qv, id0=1000)
+    out = SIM.lsh_ann(q, base, k=1, dim=16, query_id="vec_id", base_id="vec_id").collect()
+    assert out and out[0]["bid"] == 7 and abs(out[0]["cos_sim"] - 1.0) < 1e-9

@@ -1,0 +1,57 @@
+"""Physical-plan assertions: the optimizations SURVEY.md §4 promises are
+actually in the executed plans (broadcasts, pushdown, pruning, no cartesian
+products, whole-stage codegen)."""
+
+from pyspark.sql import functions as F
+
+from gstools_core_spark import plans as PL
+from gstools_core_spark.functions import points as P
+from gstools_core_spark.operators import variogram as V
+from gstools_core_spark.operators.pair_join import pair_join
+from gstools_core_spark.operators.spatial import knn_join
+
+
+def _pts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        P.x_col("doc_id").alias("x"),
+        P.y_col("doc_id").alias("y"),
+        (F.col("n_chars") / 100.0).alias("val"),
+    )
+
+
+def test_pair_join_is_equi_join_not_cartesian(spark, sf_dir):
+    pairs = pair_join(_pts(spark, sf_dir), max_dist=2.0)
+    PL.assert_no_cartesian(pairs)
+    p = PL.plan_string(pairs)
+    # ring join must be a hash/sort-merge equi join on the cell keys
+    assert "Join" in p
+    assert "jcx" in p and "jcy" in p
+
+
+def test_variogram_bins_join_is_broadcast(spark, sf_dir):
+    out = V.variogram_unstructured(_pts(spark, sf_dir), [0.0, 1.0, 2.0])
+    PL.assert_broadcast_join(out)
+    PL.assert_no_cartesian(out)
+
+
+def test_knn_plan_no_cartesian(spark, sf_dir):
+    pts = _pts(spark, sf_dir)
+    q = pts.where(F.col("id") % 10 == 0)
+    out = knn_join(q, pts, k=3, radius=2.0, query_id="id", base_id="id")
+    PL.assert_no_cartesian(out)
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.where(F.col("l_quantity") < 5.0).select("l_orderkey", "l_quantity")
+    PL.assert_pushed_filters(q)
+    cols = PL.scan_read_schema(q)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_whole_stage_codegen_in_aggregation(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy("event_type").agg(F.sum("value"))
+    assert "WholeStageCodegen" in PL.plan_string(agg)

@@ -1,0 +1,113 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB at the same sf, compare row count,
+column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype(np.float64)
+        elif pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype(np.int64)
+        elif pd.api.types.is_bool_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype(bool)
+    return pdf.sort_values(list(pdf.columns), ignore_index=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(f"columns {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}")
+        return problems
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rows {len(spark_pdf)} vs {len(duck_pdf)}")
+        return problems
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c].to_numpy(), d[c].to_numpy()
+        if sv.dtype.kind == "f":
+            bad = ~(np.isclose(sv, dv, rtol=0, atol=0, equal_nan=True))
+            if bad.any():
+                i = int(np.argmax(bad))
+                problems.append(f"col {c}: {int(bad.sum())} mismatches, e.g. row {i}: {sv[i]!r} vs {dv[i]!r}")
+        else:
+            bad = sv != dv
+            if bad.any():
+                i = int(np.argmax(bad))
+                problems.append(f"col {c}: {int(bad.sum())} mismatches, e.g. row {i}: {sv[i]!r} vs {dv[i]!r}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from gstools_core_spark.queries import registry
+    from gstools_core_spark.session import get_session
+
+    spark = get_session("oracle-check", cores=16, shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    reg = registry()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, (fn, sql) in reg.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            n_fail += 1
+            continue
+        t_spark = time.time() - t0
+        if sql is None:
+            print(f"rows  {name}: {len(sdf)} rows (rows-only) [{t_spark:.1f}s]")
+            n_rowsonly += 1
+            if len(sdf) == 0:
+                print(f"      WARNING: {name} returned 0 rows")
+            continue
+        try:
+            ddf = con.execute(sql).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"OK    {name}: {len(sdf)} rows [{t_spark:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} failed")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

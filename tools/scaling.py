@@ -1,0 +1,75 @@
+"""Scaling-efficiency evidence: run the headline bench at local[8] and
+local[32] (the sandbox substitution for N vs 4N executors per BASELINE.md)
+and write BENCH.md with throughputs + efficiency.
+
+Fresh JVM per parallelism level (subprocess) so executor-thread count is
+actually what local[n] says.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_bench(cpus: int, sf_dir: str, queries: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_QUERIES=queries,
+    )
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    queries = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "variogram,krige,knn,summate")
+    n, four_n = 8, 32
+
+    r_n = run_bench(n, sf_dir, queries)
+    r_4n = run_bench(four_n, sf_dir, queries)
+
+    t_n, t_4n = r_n["value"], r_4n["value"]
+    thr_n = r_n["input_rows"] * 2 / t_n
+    thr_4n = r_4n["input_rows"] * 2 / t_4n
+    eff = (thr_4n / thr_n) / (four_n / n)
+
+    lines = [
+        "# BENCH — scaling evidence (sandbox substitution for N vs 4N executors)",
+        "",
+        f"Same job, same input ({sf_dir}), two parallelism levels, fresh JVM each.",
+        f"Headline = {', '.join(q for q in r_n['queries'])}; throughput numerator =",
+        "input rows × headline-query count (variogram + kriging join, per BASELINE.json).",
+        "",
+        "| parallelism | wall sec (headline) | pages/sec | per-query sec |",
+        "|---|---|---|---|",
+        f"| local[{n}] (N) | {t_n:.2f} | {r_n['pages_per_sec']} | {json.dumps(r_n['queries'])} |",
+        f"| local[{four_n}] (4N) | {t_4n:.2f} | {r_4n['pages_per_sec']} | {json.dumps(r_4n['queries'])} |",
+        "",
+        f"**Scaling efficiency (N→4N): {eff:.3f}**  (target ≥ 0.8 per BASELINE.json)",
+        "",
+        "Caveats: local mode shares one JVM heap and one Python-worker pool;",
+        "constant driver/scheduling overhead makes this a lower bound on the",
+        "multi-executor efficiency at equal per-core data volume.",
+    ]
+    (REPO / "BENCH.md").write_text("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    print(json.dumps({"efficiency": eff, "thr_n": thr_n, "thr_4n": thr_4n}))
+
+
+if __name__ == "__main__":
+    main()
