@@ -8,7 +8,9 @@ tests are hermetic.
 
 from __future__ import annotations
 
+import tempfile
 import uuid
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +29,13 @@ def windowed_event_stats(
     watermark would be dropped in continuous operation).
     """
     static = spark.read.parquet(events_path)
+    # the file stream source requires a DIRECTORY; expose a single parquet
+    # file through a temp dir of symlinks
+    p = Path(events_path)
+    if p.is_file():
+        d = Path(tempfile.mkdtemp(prefix="stream_src_"))
+        (d / p.name).symlink_to(p)
+        events_path = str(d)
     stream = (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", 4)

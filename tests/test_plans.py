@@ -54,4 +54,7 @@ def test_filter_pushdown_and_column_pruning(spark, sf_dir):
 def test_whole_stage_codegen_in_aggregation(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     agg = ev.groupBy("event_type").agg(F.sum("value"))
-    assert "WholeStageCodegen" in PL.plan_string(agg)
+    # AQE's formatted plan hides codegen markers pre-execution; the codegen
+    # explain mode reports generated subtrees directly
+    p = PL.plan_string(agg, mode="codegen")
+    assert "WholeStageCodegen" in p
