@@ -6,15 +6,19 @@ a naive theta join (dist < r) would execute as a broadcast nested-loop join.
 We rewrite it into an EQUI-join on spatial blocks:
 
 1. quantize points to a grid with cell_size = max_dist → (cx, cy);
-2. stamp the LEFT side onto its 3×3 neighbor-cell ring (explode ×9);
-3. equi-join on the ring cell == right cell (hash shuffle join — Catalyst
-   partial-partitions it, AQE splits skewed cells);
-4. keep ``a.id < b.id`` (work-halving symmetry, mirroring the reference's
-   triangular loop) and ``dist < max_dist`` (exact predicate).
+2. stamp the LEFT side onto a HALF-STENCIL of its neighbor ring — the center
+   plus 4 of the 8 directions {E, NE, N, NW} (explode ×5, not ×9: the half
+   set H and −H partition the 8 directions, so each unordered neighbor cell
+   pair is generated exactly once);
+3. equi-join on the stamped cell == right cell (hash shuffle join — AQE
+   splits skewed cells);
+4. same-cell matches keep ``a.id < b.id`` (work-halving symmetry, mirroring
+   the reference's triangular loop); cross-cell matches are already unique;
+5. exact predicate ``dist < max_dist``; ids canonicalized to a_id < b_id.
 
 Every unordered pair within max_dist appears exactly once: point b's cell is
-always inside point a's ring when dist < cell_size, cells are unique, and the
-id ordering dedupes the two orientations.
+inside point a's 3×3 ring when dist < cell_size, and exactly one of
+(cell_b − cell_a) ∈ H ∪ {0} or (cell_a − cell_b) ∈ H holds.
 
 Skew: hot cells (the north rule's dense pages) are handled by (a) AQE skew
 join splitting — the join is a plain shuffle equi-join, so AQE can split
@@ -67,12 +71,12 @@ def pair_join(
     base_cols = [F.col(id_col), *[F.col(c) for c in coords], *[F.col(c) for c in payload_cols]]
     pts = points.select(*base_cols, cx_a.alias("cx"), cy_a.alias("cy"))
 
-    # left: stamped onto 3x3 ring
+    # left: stamped onto the half-stencil {center, E, NE, N, NW}
+    half = [(0, 0), (1, 0), (1, 1), (0, 1), (-1, 1)]
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
+            for dx, dy in half
         ]
     )
     left = (
@@ -81,6 +85,7 @@ def pair_join(
             *[F.col(c).alias(f"a_{c}") for c in [id_col, *coords, *payload_cols]],
             (F.col("cx") + F.col("_off.dx")).alias("jcx"),
             (F.col("cy") + F.col("_off.dy")).alias("jcy"),
+            ((F.col("_off.dx") == 0) & (F.col("_off.dy") == 0)).alias("_same_cell"),
         )
     )
     right = pts.select(
@@ -94,8 +99,10 @@ def pair_join(
         left = left.repartition(salt_partitions, "jcx", "jcy")
         right = right.repartition(salt_partitions, "jcx", "jcy")
 
+    # same-cell matches appear in both orientations → keep a < b there;
+    # cross-cell matches are generated exactly once by the half-stencil
     joined = left.join(right, on=["jcx", "jcy"], how="inner").where(
-        F.col(f"a_{id_col}") < F.col(f"b_{id_col}")
+        ~F.col("_same_cell") | (F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
     )
 
     if haversine:
@@ -108,13 +115,20 @@ def pair_join(
             [F.col(f"a_{c}") for c in coords], [F.col(f"b_{c}") for c in coords]
         )
 
+    # canonicalize: output pair always has a_id < b_id (swap sides if needed)
+    swap = F.col(f"a_{id_col}") > F.col(f"b_{id_col}")
+
+    def pick(col: str, side: str) -> F.Column:
+        other = "b" if side == "a" else "a"
+        return F.when(swap, F.col(f"{other}_{col}")).otherwise(F.col(f"{side}_{col}")).alias(f"{side}_{col}")
+
     out_cols = [
-        F.col(f"a_{id_col}"),
-        F.col(f"b_{id_col}"),
+        pick(id_col, "a"),
+        pick(id_col, "b"),
         dist.alias("dist"),
-        *[F.col(f"a_{c}") for c in coords],
-        *[F.col(f"b_{c}") for c in coords],
-        *[F.col(f"a_{c}") for c in payload_cols],
-        *[F.col(f"b_{c}") for c in payload_cols],
+        *[pick(c, "a") for c in coords],
+        *[pick(c, "b") for c in coords],
+        *[pick(c, "a") for c in payload_cols],
+        *[pick(c, "b") for c in payload_cols],
     ]
     return joined.select(*out_cols).where(F.col("dist") < F.lit(max_dist))

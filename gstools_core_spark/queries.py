@@ -51,7 +51,9 @@ POLY = [(-5.3, -4.7), (6.1, -5.2), (5.7, 4.9), (-4.9, 5.8)]  # CCW, off-lattice
 RASTER_CS = 2.0
 TILE_RES = 6
 NEARDUP_TAU = 0.37
-VAL_SQL = "CAST(n_chars AS DOUBLE) / 100.0"
+# integer-valued doubles: pair sums stay exact (< 2^53) in BOTH engines, so
+# normalization is a division of identical inputs — no summation-order noise
+VAL_SQL = "CAST(n_chars AS DOUBLE)"
 
 _rng = np.random.default_rng(424242)
 MODES = _rng.normal(size=(2, 8)).round(6)
@@ -115,14 +117,14 @@ agg AS (
   GROUP BY bin_id
 )
 SELECT CAST(b.bin_id AS BIGINT) AS bin_id, b.lo, b.hi,
-       round({gamma}, 9) AS gamma,
+       round({gamma}, 6) AS gamma,
        CAST(coalesce(cnt, 0) AS BIGINT) AS counts
 FROM bins b LEFT JOIN agg ON b.bin_id = agg.bin_id"""
 
 
 def _variogram_out(df: DataFrame) -> DataFrame:
     return df.select(
-        "bin_id", "lo", "hi", F.round("gamma", 9).alias("gamma"), "counts"
+        "bin_id", "lo", "hi", F.round("gamma", 6).alias("gamma"), "counts"
     )
 
 
@@ -175,7 +177,7 @@ agg AS (
   GROUP BY bin_id
 )
 SELECT CAST(b.bin_id AS BIGINT) AS bin_id, b.lo, b.hi,
-       round({gamma}, 9) AS gamma,
+       round({gamma}, 6) AS gamma,
        CAST(coalesce(cnt, 0) AS BIGINT) AS counts
 FROM bins b LEFT JOIN agg ON b.bin_id = agg.bin_id"""
 
@@ -189,7 +191,7 @@ def q_variogram_directional(spark, sf_dir):
         pts, BIN_EDGES, DIRECTIONS, angles_tol=ANGLES_TOL, bandwidth=-1.0
     )
     return out.select(
-        "dir_id", "bin_id", "lo", "hi", F.round("gamma", 9).alias("gamma"), "counts"
+        "dir_id", "bin_id", "lo", "hi", F.round("gamma", 6).alias("gamma"), "counts"
     )
 
 
@@ -205,7 +207,7 @@ def q_variogram_directional_sep(spark, sf_dir):
         separate_dirs=True,
     )
     return out.select(
-        "dir_id", "bin_id", "lo", "hi", F.round("gamma", 9).alias("gamma"), "counts"
+        "dir_id", "bin_id", "lo", "hi", F.round("gamma", 6).alias("gamma"), "counts"
     )
 
 
@@ -256,7 +258,7 @@ agg AS (
   GROUP BY dir_id, bin_id
 )
 SELECT CAST(d.dir_id AS BIGINT) AS dir_id, CAST(b.bin_id AS BIGINT) AS bin_id,
-       b.lo, b.hi, round({gamma}, 9) AS gamma,
+       b.lo, b.hi, round({gamma}, 6) AS gamma,
        CAST(coalesce(cnt, 0) AS BIGINT) AS counts
 FROM dirs d CROSS JOIN bins b
 LEFT JOIN agg ON agg.dir_id = d.dir_id AND agg.bin_id = b.bin_id"""
@@ -265,10 +267,11 @@ LEFT JOIN agg ON agg.dir_id = d.dir_id AND agg.bin_id = b.bin_id"""
 # --- 6-7: structured --------------------------------------------------------
 
 GRID_NX = 100
+# value has 2 decimals → cents are integer-valued doubles (exact sums)
 SQL_GRID = f"""grid AS (
   SELECT event_id % {GRID_NX} AS i,
          CAST(floor(event_id / {GRID_NX}.0) AS BIGINT) AS j,
-         value AS val,
+         round(value * 100) AS val,
          ((event_id * 31) % 10) < 3 AS masked
   FROM events
 )"""
@@ -279,7 +282,7 @@ def _events_grid(spark, sf_dir):
     return ev.select(
         (F.col("event_id") % GRID_NX).alias("i"),
         F.floor(F.col("event_id") / F.lit(float(GRID_NX))).cast("long").alias("j"),
-        F.col("value").alias("val"),
+        F.round(F.col("value") * 100, 0).alias("val"),
         ((F.col("event_id") * 31) % 10 < 3).alias("masked"),
     )
 
@@ -287,13 +290,13 @@ def _events_grid(spark, sf_dir):
 def q_variogram_structured(spark, sf_dir):
     _prep(spark)
     out = V.variogram_structured(_events_grid(spark, sf_dir))
-    return out.select("lag", F.round("gamma", 9).alias("gamma"))
+    return out.select("lag", F.round("gamma", 6).alias("gamma"))
 
 
 def q_variogram_ma_structured(spark, sf_dir):
     _prep(spark)
     out = V.variogram_structured_fast(_events_grid(spark, sf_dir), mask_col="masked")
-    return out.select("lag", F.round("gamma", 9).alias("gamma"))
+    return out.select("lag", F.round("gamma", 6).alias("gamma"))
 
 
 def _sql_variogram_structured(masked: bool) -> str:
@@ -308,7 +311,7 @@ agg AS (
   GROUP BY b.i - a.i
 )
 SELECT CAST(l.range AS BIGINT) AS lag,
-       CASE WHEN l.range = 0 THEN 0.0 ELSE round({gamma}, 9) END AS gamma
+       CASE WHEN l.range = 0 THEN 0.0 ELSE round({gamma}, 6) END AS gamma
 FROM range(0, {GRID_NX}) l LEFT JOIN agg ON agg.lag = l.range"""
 
 
@@ -350,7 +353,7 @@ agg AS (
   GROUP BY bin_id
 )
 SELECT CAST(b.bin_id AS BIGINT) AS bin_id, b.lo, b.hi,
-       round({gamma}, 9) AS gamma, CAST(coalesce(cnt, 0) AS BIGINT) AS counts
+       round({gamma}, 6) AS gamma, CAST(coalesce(cnt, 0) AS BIGINT) AS counts
 FROM bins b LEFT JOIN agg ON b.bin_id = agg.bin_id"""
 
 
@@ -774,34 +777,39 @@ def q_lsh_ann(spark, sf_dir):
 def q_events_stats(spark, sf_dir):
     _prep(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("value_sum"),
-        F.round(F.sum("value") / F.count(F.lit(1)), 6).alias("value_avg"),
+        (F.sum(cents).cast("double") / 100.0).alias("value_sum"),
+        F.round(
+            F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0, 9
+        ).alias("value_avg"),
     )
 
 
+# cent-exact sums: integer aggregation is order-independent in both engines
 SQL_EVENTS_STATS = """SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 6) AS value_sum,
-       round(sum(value) / count(*), 6) AS value_avg
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 9) AS value_avg
 FROM events GROUP BY event_type"""
 
 
 def q_events_windowed(spark, sf_dir):
     _prep(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("value_sum"),
+        (F.sum(cents).cast("double") / 100.0).alias("value_sum"),
     )
 
 
 SQL_EVENTS_WINDOWED = """SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 6) AS value_sum
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
 FROM events GROUP BY 1, 2"""
 
 
@@ -809,19 +817,20 @@ def q_seg_order_stats(spark, sf_dir):
     _prep(spark)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            (F.sum(cents).cast("double") / 100.0).alias("total_price"),
         )
     )
 
 
 SQL_SEG_ORDER_STATS = """SELECT c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 4) AS total_price
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""
 
