@@ -45,7 +45,12 @@ BZ2 = _rng.normal(size=1000)
 
 
 def _event_points(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # single small parquet file arrives as 1 partition; a 100 TB table would
+    # have thousands — repartition so per-partition operators actually
+    # parallelize the way they would at scale
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
     return ev.select(
         F.col("event_id").alias("id"),
         P.x_col("event_id").alias("x"),
@@ -92,7 +97,9 @@ def bench_pages_tiles(spark, sf_dir):
 
 
 def bench_minhash(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return minhash_dedup(docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=8, shingle_k=3)
 
 

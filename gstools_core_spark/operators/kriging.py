@@ -30,6 +30,11 @@ from gstools_core_spark import kernels as K
 
 
 class GaussianModel:
+    """cov(h) = var·exp(−(h/len_scale)²); the nugget is measurement error and
+    enters ONLY the Gram-matrix diagonal (not cross-covariances between
+    distinct coincident samples — that would make duplicated sample
+    locations exactly singular)."""
+
     def __init__(self, var: float = 1.0, len_scale: float = 1.0, nugget: float = 0.0):
         self.var = float(var)
         self.len_scale = float(len_scale)
@@ -37,8 +42,7 @@ class GaussianModel:
 
     def cov(self, h: np.ndarray) -> np.ndarray:
         h = np.asarray(h, dtype=np.float64)
-        c = self.var * np.exp(-((h / self.len_scale) ** 2))
-        return np.where(h == 0.0, c + self.nugget, c)
+        return self.var * np.exp(-((h / self.len_scale) ** 2))
 
     @property
     def sill(self) -> float:
@@ -138,17 +142,19 @@ def krige(
         nc = len(cx)
 
         def cov(h):
-            cc = var * np.exp(-((h / len_scale) ** 2))
-            return np.where(h == 0.0, cc + nugget, cc)
+            return var * np.exp(-((h / len_scale) ** 2))
 
         dxx = np.hypot(cx[:, None] - cx[None, :], cy[:, None] - cy[None, :])
         dxt = np.hypot(cx[:, None] - tx[None, :], cy[:, None] - ty[None, :])
-        C = cov(dxx)
+        C = cov(dxx) + nugget * np.eye(nc)  # nugget on the diagonal only
         V = cov(dxt)  # (nc, nt)
 
         if simple:
             # pre-invert once per neighborhood, then run the reference kernel
-            M = np.linalg.inv(C)
+            try:
+                M = np.linalg.inv(C)
+            except np.linalg.LinAlgError:
+                M = np.linalg.pinv(C)  # coincident samples with zero nugget
             field, err = K.calc_field_krige_and_variance(M, V, cv - mu)
             est = field + mu
             kvar = np.maximum(sill - err, 0.0)
@@ -162,7 +168,10 @@ def krige(
             B = np.empty((nc + 1, V.shape[1]))
             B[:nc] = V
             B[nc] = 1.0
-            W = np.linalg.solve(A, B)  # weights + lagrange multiplier
+            try:
+                W = np.linalg.solve(A, B)  # weights + lagrange multiplier
+            except np.linalg.LinAlgError:
+                W = np.linalg.lstsq(A, B, rcond=None)[0]
             est = W[:nc].T @ cv
             kvar = np.maximum(
                 sill - np.einsum("ij,ij->j", W[:nc], V) - W[nc], 0.0

@@ -35,7 +35,9 @@ def _local_krige(model, method, mean, tx, ty, cx, cy, cv, radius):
             continue
         sx, sy, sv = cx[sel], cy[sel], cv[sel]
         nc = len(sx)
-        C = model.cov(np.hypot(sx[:, None] - sx[None, :], sy[:, None] - sy[None, :]))
+        C = model.cov(
+            np.hypot(sx[:, None] - sx[None, :], sy[:, None] - sy[None, :])
+        ) + model.nugget * np.eye(nc)
         V = model.cov(np.hypot(sx - tx[t], sy - ty[t]))[:, None]
         if method == "simple":
             M = np.linalg.inv(C)
