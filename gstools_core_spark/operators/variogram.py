@@ -37,6 +37,18 @@ def bins_df(spark: SparkSession, bin_edges: Sequence[float]) -> DataFrame:
     return spark.createDataFrame(rows, "bin_id long, lo double, hi double")
 
 
+def bin_id_col(dist, bin_edges: Sequence[float]):
+    """Half-open [lo, hi) bin assignment as a codegen'd CASE chain — the
+    exact comparison semantics of the reference's bin predicate
+    (variogram.rs:517-519) without a nested-loop join against the bins
+    table on the (huge) pair stream.  Assumes dist already filtered to
+    [edges[0], edges[-1])."""
+    expr = F.lit(len(bin_edges) - 2).cast("long")
+    for i in range(len(bin_edges) - 2, 0, -1):
+        expr = F.when(dist < F.lit(float(bin_edges[i])), F.lit(i - 1).cast("long")).otherwise(expr)
+    return expr
+
+
 def _diffs_exploded(pairs: DataFrame, val_cols: Sequence[str]) -> DataFrame:
     """One row per (pair, field) with the field difference; NaN/null diffs
     dropped (reference NaN skip, variogram.rs:521-525).  Multi-field rows
@@ -73,17 +85,13 @@ def variogram_unstructured(
         salt_partitions=salt_partitions,
     ).where(F.col("dist") >= F.lit(float(bin_edges[0])))
 
-    bins = bins_df(spark, bin_edges)
-    binned = pairs.join(
-        F.broadcast(bins),
-        (F.col("dist") >= F.col("lo")) & (F.col("dist") < F.col("hi")),
-        "inner",
-    )
+    binned = pairs.withColumn("bin_id", bin_id_col(F.col("dist"), bin_edges))
     per_field = _diffs_exploded(binned, val_cols)
     agg = per_field.groupBy("bin_id").agg(
         F.sum(E.estimate(F.col("f_diff"), estimator)).alias("vsum"),
         F.count(F.lit(1)).alias("counts"),
     )
+    bins = bins_df(spark, bin_edges)
     out = (
         bins.join(agg, "bin_id", "left")
         .select(
@@ -186,17 +194,13 @@ def variogram_directional(
             .drop("_rn")
         )
 
-    bins = bins_df(spark, bin_edges)
-    binned = with_dirs.join(
-        F.broadcast(bins),
-        (F.col("dist") >= F.col("lo")) & (F.col("dist") < F.col("hi")),
-        "inner",
-    )
+    binned = with_dirs.withColumn("bin_id", bin_id_col(F.col("dist"), bin_edges))
     per_field = _diffs_exploded(binned, val_cols)
     agg = per_field.groupBy("dir_id", "bin_id").agg(
         F.sum(E.estimate(F.col("f_diff"), estimator)).alias("vsum"),
         F.count(F.lit(1)).alias("counts"),
     )
+    bins = bins_df(spark, bin_edges)
     frame = dirs.select("dir_id").crossJoin(bins)
     return frame.join(agg, ["dir_id", "bin_id"], "left").select(
         "dir_id",
