@@ -130,7 +130,14 @@ def main():
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     names = subset.split(",") if subset else list(QUERIES)
 
-    spark = get_session("gstools-core-spark-bench", cores=cpus, shuffle_partitions=max(cpus * 2, 16))
+    # local mode shares one JVM heap across "executors": size it so the
+    # pair-join shuffles don't live under constant GC pressure
+    spark = get_session(
+        "gstools-core-spark-bench",
+        cores=cpus,
+        shuffle_partitions=max(cpus * 2, 16),
+        memory_gb=48,
+    )
     n_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
     times = {}

@@ -134,7 +134,11 @@ def minhash_dedup(
     """Near-dup removal: a doc is dropped if it verifies ≥threshold Jaccard
     against any candidate with a smaller id (single-pass canonicalization —
     the standard web-dedup contract, not full connected components)."""
-    sigs = minhash_signature(df, text_col, num_hashes, shingle_k)
+    # persist the signature table: the band self-join and the verify join
+    # each read it from both sides — without this the (expensive) shingle +
+    # signature expressions recompute 4×.  At warehouse scale this is the
+    # materialized signatures table.
+    sigs = minhash_signature(df, text_col, num_hashes, shingle_k).persist()
     cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
     dups = (
         jaccard_verify(cands, sigs, id_col, threshold)
@@ -182,9 +186,12 @@ def simhash_near_dups(
             for b in range(4)
         ]
     )
-    keyed = df.select(F.col(id_col), F.col(sim_col)).withColumn(
-        "_b", F.explode(bands)
-    ).select(id_col, sim_col, "_b.band", "_b.bucket")
+    keyed = (
+        df.select(F.col(id_col), F.col(sim_col))
+        .withColumn("_b", F.explode(bands))
+        .select(id_col, sim_col, "_b.band", "_b.bucket")
+        .persist()  # read from both sides of the band self-join
+    )
     a = keyed.select(
         F.col(id_col).alias("a_id"), F.col(sim_col).alias("a_sim"), "band", "bucket"
     )
@@ -206,7 +213,9 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle:
     explode shingles → self equi-join on shingle → per-pair intersection
     count → |A∪B| = |A|+|B|−|A∩B| (no cross join anywhere)."""
-    sh = df.select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s")
+    ).persist()  # read 3×: both join sides + per-doc sizes
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a_id"), "s")
     b = sh.select(F.col(id_col).alias("b_id"), "s")

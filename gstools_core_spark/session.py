@@ -15,6 +15,7 @@ def get_session(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    memory_gb: int = 16,
 ) -> SparkSession:
     master = f"local[{cores}]" if cores else "local[*]"
     if shuffle_partitions is None:
@@ -34,7 +35,7 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Keep timestamps deterministic regardless of machine TZ.
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", f"{memory_gb}g")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
