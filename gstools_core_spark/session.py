@@ -7,7 +7,26 @@ local[N]; see SURVEY.md §4.3.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
+
+# One BLAS thread per Python worker: Spark supplies the parallelism; letting
+# OpenBLAS spawn nproc threads in each of N workers (N×nproc threads total)
+# destroys scaling (observed: local[32] slower than local[8] on numpy-heavy
+# kernels).  Must be set before the JVM launches so pyspark workers inherit.
+_BLAS_VARS = (
+    "OMP_NUM_THREADS",
+    "OPENBLAS_NUM_THREADS",
+    "MKL_NUM_THREADS",
+    "VECLIB_MAXIMUM_THREADS",
+    "NUMEXPR_NUM_THREADS",
+)
+
+
+def _pin_blas_threads() -> None:
+    for var in _BLAS_VARS:
+        os.environ.setdefault(var, "1")
 
 
 def get_session(
@@ -17,6 +36,7 @@ def get_session(
     extra_conf: dict | None = None,
     memory_gb: int = 16,
 ) -> SparkSession:
+    _pin_blas_threads()
     master = f"local[{cores}]" if cores else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = cores or 32
