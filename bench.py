@@ -41,7 +41,7 @@ from gstools_core_spark.sources.pages import geocode, synthesize_pages  # noqa: 
 HEAVY = os.environ.get("SPARK_GRAFT_BENCH_HEAVY") == "1"
 
 if HEAVY:
-    BENCH_EDGES = [0.25 * i for i in range(11)]  # rmax 2.5 → ~25× the pairs
+    BENCH_EDGES = [0.25 * i for i in range(13)]  # rmax 3.0 → ~36× the pairs
     BENCH_RADIUS = 1.0
     N_MODES = 20000
 else:
@@ -59,9 +59,7 @@ def _event_points(spark, sf_dir):
     # single small parquet file arrives as 1 partition; a 100 TB table would
     # have thousands — repartition so per-partition operators actually
     # parallelize the way they would at scale
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
-        spark.sparkContext.defaultParallelism * 2
-    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(64)
     return ev.select(
         F.col("event_id").alias("id"),
         P.x_col("event_id").alias("x"),
@@ -150,10 +148,12 @@ def main():
 
     # local mode shares one JVM heap across "executors": size it so the
     # pair-join shuffles don't live under constant GC pressure
+    # identical task granularity at every parallelism level (scaling runs
+    # compare local[8] vs local[32]: same partition count → same task sizes)
     spark = get_session(
         "gstools-core-spark-bench",
         cores=cpus,
-        shuffle_partitions=max(cpus * 2, 16),
+        shuffle_partitions=64,
         memory_gb=48,
     )
     n_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()

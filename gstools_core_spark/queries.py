@@ -835,7 +835,137 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""
 
 
-# --- 29: multimodal (rows-only; decode stubbed, plumbing real) ------------------
+# --- 29-33: temporal/relational coverage --------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def q_sessionization(spark, sf_dir):
+    """Gap-based sessionization: new session when the per-user inter-event
+    gap exceeds 30 min; session stats per (user, session)."""
+    _prep(spark)
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull() | ((us - prev) > SESSION_GAP_US), 1).otherwise(0)
+    sess = (
+        ev.withColumn("_new", new_s)
+        .withColumn("session_id", F.sum("_new").over(w).cast("long"))
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(cents).cast("double") / 100.0).alias("value_sum"),
+    )
+
+
+SQL_SESSIONIZATION = f"""WITH marked AS (
+  SELECT user_id, value, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+FROM sess GROUP BY user_id, session_id"""
+
+
+def q_events_rollup(spark, sf_dir):
+    """ROLLUP(event_type) with grand total — multi-level aggregation."""
+    _prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.rollup("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(cents).cast("double") / 100.0).alias("value_sum"),
+    )
+
+
+SQL_EVENTS_ROLLUP = """SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+FROM events GROUP BY ROLLUP(event_type)"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti join: customers that never placed an URGENT-priority order."""
+    _prep(spark)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    urgent = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"""
+
+
+def q_top_orders_per_segment(spark, sf_dir):
+    """Top-3 orders by price per market segment (broadcast dim + window)."""
+    _prep(spark)
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+SQL_TOP_ORDERS_PER_SEGMENT = """SELECT c_mktsegment, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
+FROM orders JOIN customer ON o_custkey = c_custkey
+QUALIFY rnk <= 3"""
+
+
+def q_source_stats(spark, sf_dir):
+    """String functions: numeric id out of the source tag, bucketed stats."""
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_num = F.regexp_extract("source", "([0-9]+)", 1).cast("long")
+    return (
+        docs.withColumn("src_bucket", F.pmod(src_num, F.lit(10)))
+        .groupBy("src_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.max(F.upper(F.col("lang"))).alias("max_lang"),
+        )
+    )
+
+
+SQL_SOURCE_STATS = """SELECT CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 10 AS src_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       max(upper(lang)) AS max_lang
+FROM documents GROUP BY 1"""
+
+
+# --- 34: multimodal (rows-only; decode stubbed, plumbing real) ------------------
 
 def q_multimodal_features(spark, sf_dir):
     _prep(spark)
@@ -891,5 +1021,16 @@ def registry() -> dict[str, tuple]:
         "events_stats": (q_events_stats, SQL_EVENTS_STATS),
         "events_windowed": (q_events_windowed, SQL_EVENTS_WINDOWED),
         "seg_order_stats": (q_seg_order_stats, SQL_SEG_ORDER_STATS),
+        "sessionization": (q_sessionization, SQL_SESSIONIZATION),
+        "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+        "customers_without_orders": (
+            q_customers_without_orders,
+            SQL_CUSTOMERS_WITHOUT_ORDERS,
+        ),
+        "top_orders_per_segment": (
+            q_top_orders_per_segment,
+            SQL_TOP_ORDERS_PER_SEGMENT,
+        ),
+        "source_stats": (q_source_stats, SQL_SOURCE_STATS),
         "multimodal_features": (q_multimodal_features, None),
     }
