@@ -92,6 +92,54 @@ def knn_join(
     )
 
 
+def knn_join_adaptive(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    radius: float,
+    query_id: str = "qid",
+    base_id: str = "bid",
+    coords: Sequence[str] = ("x", "y"),
+    max_rounds: int = 3,
+    growth: float = 4.0,
+) -> DataFrame:
+    """kNN join with expanding search radius: queries that found fewer than
+    ``k`` neighbors in round r retry with radius·growth^r (anti-join keeps
+    only unsatisfied queries — the north-rule checkpoint/resume shape).
+    Bounded driver loop of ``max_rounds`` distributed passes; each pass is
+    the radius-bounded ring join.  Queries still unsatisfied after the last
+    round return their partial (<k) neighbor lists.
+    """
+    remaining = queries
+    results = None
+    r = radius
+    for round_i in range(max_rounds):
+        found = knn_join(
+            remaining, base, k=k, radius=r, query_id=query_id,
+            base_id=base_id, coords=coords,
+        ).withColumn("radius_round", F.lit(round_i))
+        counts = found.groupBy("qid").agg(F.count(F.lit(1)).alias("_n"))
+        satisfied = counts.where(F.col("_n") >= k).select("qid")
+        done = found.join(satisfied, "qid", "left_semi")
+        last = round_i == max_rounds - 1
+        keep = found if last else done
+        results = keep if results is None else results.unionByName(keep)
+        if last:
+            break
+        remaining = remaining.join(
+            satisfied.withColumnRenamed("qid", query_id), query_id, "left_anti"
+        )
+        r *= growth
+    # a query can appear from multiple rounds only via the final partial
+    # pass; dedupe keeping the earliest round
+    w = Window.partitionBy("qid", "bid").orderBy("radius_round")
+    return (
+        results.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def knn_join_bruteforce(
     queries: DataFrame,
     base: DataFrame,

@@ -77,6 +77,25 @@ def test_knn_join_matches_bruteforce(spark):
     assert got_set == want_set
 
 
+def test_knn_join_adaptive_expands_radius(spark):
+    # base points far from the query: round-0 radius finds nothing,
+    # expansion must still deliver k neighbors
+    q, qx, qy = _cloud_df(spark, 5, 5, "qid")
+    b, bx, by = _cloud_df(spark, 200, 6, "bid")
+    k = 4
+    got = S.knn_join_adaptive(q, b, k=k, radius=0.05, max_rounds=4).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["qid"], []).append((r["rank"], r["bid"]))
+    for qi in range(5):
+        ranked = sorted(per_q[qi])
+        # compare against brute-force top-k within the final radius
+        final_r = 0.05 * 4.0**3
+        d = np.sqrt((bx - qx[qi]) ** 2 + (by - qy[qi]) ** 2)
+        want = sorted([(float(d[i]), i) for i in range(200) if d[i] <= final_r])[:k]
+        assert [bid for _rk, bid in ranked] == [i for _dd, i in want]
+
+
 def test_point_in_polygon(spark):
     df, x, y = _cloud_df(spark, 500, 3, "id")
     # non-convex polygon (arrow shape)
