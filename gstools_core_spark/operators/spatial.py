@@ -214,6 +214,58 @@ def point_in_polygon(
     )
 
 
+def rasterize_tiles(
+    points: DataFrame,
+    cell_size: float,
+    value_col: str,
+    tile_cells: int = 16,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Rasterize a point field into dense per-tile grids: one output row per
+    ``tile_cells × tile_cells`` macro-tile carrying the full cell-value
+    matrix (row-major array<array<double>>, NaN for empty cells) — the
+    north-star's 'kriged surface back to tile grids' shape, built with one
+    groupBy + ``applyInPandas`` per macro-tile."""
+    import pandas as pd
+
+    tc = tile_cells
+    cs = cell_size
+    cx = F.floor(F.col(x_col) / F.lit(cs)).cast("long")
+    cy = F.floor(F.col(y_col) / F.lit(cs)).cast("long")
+    staged = (
+        points.withColumn("_cx", cx)
+        .withColumn("_cy", cy)
+        .withColumn("tile_x", F.floor(F.col("_cx") / F.lit(tc)).cast("long"))
+        .withColumn("tile_y", F.floor(F.col("_cy") / F.lit(tc)).cast("long"))
+        .select("tile_x", "tile_y", "_cx", "_cy", F.col(value_col).alias("_v"))
+    )
+
+    def to_grid(pdf: pd.DataFrame) -> pd.DataFrame:
+        grid = np.full((tc, tc), np.nan)
+        counts = np.zeros((tc, tc))
+        sums = np.zeros((tc, tc))
+        ix = (pdf["_cx"] - pdf["tile_x"].iloc[0] * tc).to_numpy(np.int64)
+        iy = (pdf["_cy"] - pdf["tile_y"].iloc[0] * tc).to_numpy(np.int64)
+        np.add.at(sums, (ix, iy), pdf["_v"].to_numpy(np.float64))
+        np.add.at(counts, (ix, iy), 1.0)
+        nz = counts > 0
+        grid[nz] = sums[nz] / counts[nz]
+        return pd.DataFrame(
+            {
+                "tile_x": [int(pdf["tile_x"].iloc[0])],
+                "tile_y": [int(pdf["tile_y"].iloc[0])],
+                "n_points": [int(len(pdf))],
+                "grid": [grid.tolist()],
+            }
+        )
+
+    return staged.groupBy("tile_x", "tile_y").applyInPandas(
+        to_grid,
+        "tile_x long, tile_y long, n_points long, grid array<array<double>>",
+    )
+
+
 def rasterize(
     points: DataFrame,
     cell_size: float,

@@ -502,6 +502,26 @@ def q_krige_ordinary(spark, sf_dir):
     )
 
 
+def q_krige_raster(spark, sf_dir):
+    """North-star end-to-end: geocoded points → ordinary kriging → kriged
+    surface rasterized back to dense tile grids (rows-only; np.linalg
+    solves are not SQL-expressible)."""
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir)
+    cond = pts.where(F.col("id") % 5 == 0)
+    model = GaussianModel(var=1.0, len_scale=2.0, nugget=0.01)
+    kriged = krige(pts, cond, model, radius=3.0, method="ordinary")
+    tiles = S.rasterize_tiles(
+        kriged, cell_size=1.0, value_col="krige_mean", tile_cells=8
+    )
+    return tiles.select(
+        "tile_x",
+        "tile_y",
+        "n_points",
+        F.round(F.col("grid")[0][0], 6).alias("g00"),
+    )
+
+
 # --- 14-16: field summation --------------------------------------------------
 
 def _modes_sql_values(with_sf: bool = False, with_proj: bool = False) -> str:
@@ -1005,6 +1025,7 @@ def registry() -> dict[str, tuple]:
         "point_in_polygon": (q_point_in_polygon, _sql_point_in_polygon()),
         "rasterize": (q_rasterize, _sql_rasterize()),
         "krige_ordinary": (q_krige_ordinary, None),
+        "krige_raster": (q_krige_raster, None),
         "summate": (q_summate, _sql_summate("scalar")),
         "summate_fourier": (q_summate_fourier, _sql_summate("fourier")),
         "summate_incompr": (q_summate_incompr, _sql_summate("incompr")),

@@ -121,6 +121,26 @@ def test_point_in_polygon(spark):
     assert want.sum() > 10  # sanity: polygon actually contains points
 
 
+def test_rasterize_tiles_dense_grids(spark):
+    df, x, y = _cloud_df(spark, 300, 9, "id")
+    from pyspark.sql import functions as F
+
+    pts = df.withColumn("val", F.col("x") * 2.0)
+    out = S.rasterize_tiles(pts, cell_size=2.0, value_col="val", tile_cells=4).collect()
+    assert sum(r["n_points"] for r in out) == 300
+    for r in out:
+        grid = np.array(r["grid"], dtype=np.float64)
+        assert grid.shape == (4, 4)
+        # verify one populated cell against a direct average
+        cx = np.floor(x / 2.0).astype(int)
+        cy = np.floor(y / 2.0).astype(int)
+        ix, iy = np.argwhere(~np.isnan(grid))[0]
+        gx = r["tile_x"] * 4 + ix
+        gy = r["tile_y"] * 4 + iy
+        sel = (cx == gx) & (cy == gy)
+        np.testing.assert_allclose(grid[ix, iy], np.mean(2.0 * x[sel]), rtol=1e-12)
+
+
 def test_rasterize(spark):
     df, x, y = _cloud_df(spark, 200, 4, "id")
     from pyspark.sql import functions as F
