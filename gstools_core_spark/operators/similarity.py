@@ -114,6 +114,103 @@ def cosine_topk(
     return q.mapInPandas(gen, "qid long, bid long, cos_sim double, rank int")
 
 
+def _assign_clusters(df: DataFrame, id_name: str, vec_col: str, centroids: np.ndarray, n_probe: int):
+    """mapInPandas: nearest ``n_probe`` centroid ids per vector (cosine)."""
+    C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    npb = n_probe
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = V @ C.T
+            order = np.argsort(-sims, axis=1)[:, :npb]
+            rows = {
+                id_name: np.repeat(pdf[id_name].to_numpy(np.int64), npb),
+                "cluster": order.reshape(-1).astype(np.int64),
+                "probe_rank": np.tile(np.arange(npb, dtype=np.int64), len(pdf)),
+            }
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, f"{id_name} long, cluster long, probe_rank long")
+
+
+def ivf_ann(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    query_id: str = "qid",
+    base_id: str = "bid",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF-style approximate cosine top-k — the classic inverted-file index
+    built with plain DataFrame ops:
+
+    1. spherical k-means coarse quantizer, fully deterministic: centroids
+       initialized from the ``n_clusters`` smallest base ids, Lloyd updates
+       via (assign with broadcast centroids → posexplode → groupBy(cluster,
+       component) avg), centroids collected each round (n_clusters×dim —
+       tiny driver state);
+    2. base vectors land in exactly one cluster (inverted lists);
+    3. each query probes its ``n_probe`` nearest centroids (explode) and
+       reranks EXACTLY inside the probed lists: equi-join on cluster id →
+       cosine → per-query top-k window.  n_probe = n_clusters ⇒ exact.
+    """
+    spark = queries.sparkSession
+    b = base.select(F.col(base_id).alias("bid"), F.col(vec_col).alias("v")).persist()
+
+    # deterministic init: the n_clusters smallest base ids
+    init = (
+        b.orderBy("bid").limit(n_clusters).toPandas()
+    )
+    centroids = np.stack(init["v"].to_numpy()).astype(np.float64)
+
+    for _ in range(iters):
+        assigned = _assign_clusters(b, "bid", "v", centroids, n_probe=1)
+        comp = (
+            assigned.join(b, "bid")
+            .select("cluster", F.posexplode(F.col("v")).alias("idx", "x"))
+            .groupBy("cluster", "idx")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        for r in comp:
+            new_c[r["cluster"], r["idx"]] = r["m"]
+        centroids = new_c
+
+    lists = _assign_clusters(b, "bid", "v", centroids, n_probe=1).join(b, "bid")
+    probes = _assign_clusters(
+        queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("q_v")).withColumnRenamed("q_v", "v"),
+        "qid", "v", centroids, n_probe=n_probe,
+    )
+    qv = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("q_v"))
+    dot = F.aggregate(
+        F.zip_with(F.col("q_v"), F.col("v"), lambda a, bb: a.cast("double") * bb.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = (
+        probes.join(lists.select("cluster", "bid", "v"), "cluster")
+        .join(qv, "qid")
+        .where(F.col("qid") != F.col("bid"))
+        .withColumn("cos_sim", dot / (_norm_col(F.col("q_v")) * _norm_col(F.col("v"))))
+        .select("qid", "bid", "cos_sim")
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("bid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "bid", "cos_sim", "rank")
+    )
+
+
 def hyperplane_sketch(
     df: DataFrame, vec_col: str, dim: int, n_bits: int = 16, seed: int = 19031977
 ) -> DataFrame:

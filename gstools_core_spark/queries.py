@@ -784,6 +784,17 @@ FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id
 WHERE dot / (na.nrm * nb.nrm) >= {NEARDUP_TAU!r}"""
 
 
+def q_ivf_ann(spark, sf_dir):
+    _prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    out = SIM.ivf_ann(
+        q, emb, k=3, query_id="vec_id", base_id="vec_id",
+        n_clusters=16, n_probe=4, iters=2,
+    )
+    return out.select("qid", "bid", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
 def q_lsh_ann(spark, sf_dir):
     _prep(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1039,6 +1050,7 @@ def registry() -> dict[str, tuple]:
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
         "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
         "lsh_ann": (q_lsh_ann, None),
+        "ivf_ann": (q_ivf_ann, None),
         "events_stats": (q_events_stats, SQL_EVENTS_STATS),
         "events_windowed": (q_events_windowed, SQL_EVENTS_WINDOWED),
         "seg_order_stats": (q_seg_order_stats, SQL_SEG_ORDER_STATS),

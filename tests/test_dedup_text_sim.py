@@ -113,6 +113,37 @@ def test_cosine_topk_paths_agree(spark):
     assert len(s) == 15
 
 
+def test_ivf_ann_full_probe_is_exact(spark):
+    rng = np.random.default_rng(8)
+    base_v = rng.normal(size=(120, 8))
+    base = _emb_df(spark, base_v)
+    queries = _emb_df(spark, base_v[:6], id0=0)
+    exact = SIM.cosine_topk_sql(queries, base, k=3, query_id="vec_id", base_id="vec_id")
+    ivf = SIM.ivf_ann(
+        queries, base, k=3, query_id="vec_id", base_id="vec_id",
+        n_clusters=6, n_probe=6, iters=2,
+    )
+    e = {(r["qid"], r["bid"], r["rank"]) for r in exact.collect()}
+    i = {(r["qid"], r["bid"], r["rank"]) for r in ivf.collect()}
+    assert e == i  # probing every cluster = exact
+
+
+def test_ivf_ann_partial_probe_recall(spark):
+    rng = np.random.default_rng(9)
+    base_v = rng.normal(size=(200, 8))
+    base = _emb_df(spark, base_v)
+    queries = _emb_df(spark, base_v[:10], id0=0)
+    exact = SIM.cosine_topk_sql(queries, base, k=3, query_id="vec_id", base_id="vec_id")
+    ivf = SIM.ivf_ann(
+        queries, base, k=3, query_id="vec_id", base_id="vec_id",
+        n_clusters=8, n_probe=4, iters=2,
+    )
+    e = {(r["qid"], r["bid"]) for r in exact.collect()}
+    i = {(r["qid"], r["bid"]) for r in ivf.collect()}
+    recall = len(e & i) / len(e)
+    assert recall >= 0.6, recall
+
+
 def test_lsh_ann_finds_identical_vector(spark):
     rng = np.random.default_rng(4)
     base_v = rng.normal(size=(100, 16))
