@@ -88,6 +88,34 @@ class CheckpointedRun:
         return spark.read.parquet(*paths)
 
 
+def emit_pair_metrics(
+    points: DataFrame, max_dist: float, out_path: str,
+    coords=("x", "y"), id_col: str = "id",
+) -> DataFrame:
+    """North-rule per-cell metrics for the variogram join: pair counts and
+    distance moments per blocking cell (cell of the pair's first point),
+    written as JSON lines."""
+    from gstools_core_spark.operators.pair_join import pair_join
+
+    pairs = pair_join(points, max_dist, id_col=id_col, coords=coords, payload_cols=())
+    cell = F.struct(
+        F.floor(F.col(f"a_{coords[0]}") / F.lit(max_dist)).cast("long").alias("cx"),
+        F.floor(F.col(f"a_{coords[1]}") / F.lit(max_dist)).cast("long").alias("cy"),
+    )
+    metrics = (
+        pairs.withColumn("cell", cell)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("dist"), 9).alias("dist_mean"),
+            F.round(F.max("dist"), 9).alias("dist_max"),
+        )
+        .select("cell.cx", "cell.cy", "n_pairs", "dist_mean", "dist_max")
+    )
+    metrics.write.mode("overwrite").json(out_path)
+    return metrics
+
+
 def emit_cell_metrics(
     df: DataFrame, cell_col: str, out_path: str, value_col: str | None = None
 ) -> DataFrame:

@@ -167,19 +167,91 @@ def knn_join_bruteforce(
     )
 
 
+def polygon_cell_cover(
+    polygon: Sequence[tuple[float, float]], cell_size: float
+) -> tuple[set, set]:
+    """Conservative grid cover of a polygon: returns (interior_cells,
+    boundary_cells).  Cells fully inside skip the exact test entirely;
+    boundary cells go to the ray-cast; everything else is outside.
+    Driver-side numpy rasterization of the (small) polygon — the broadcast
+    cell-cover set of SURVEY.md §2.3."""
+    vx = np.array([p[0] for p in polygon], dtype=np.float64)
+    vy = np.array([p[1] for p in polygon], dtype=np.float64)
+
+    def ray(px, py):
+        inside = np.zeros(np.shape(px), dtype=bool)
+        j = len(vx) - 1
+        for i in range(len(vx)):
+            crosses = (vy[i] > py) != (vy[j] > py)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                x_at = vx[i] + (py - vy[i]) * (vx[j] - vx[i]) / (vy[j] - vy[i])
+            inside ^= crosses & (px < np.where(crosses, x_at, np.inf))
+            j = i
+        return inside
+
+    def seg_hits_box(x1, y1, x2, y2, bx0, by0, bx1, by1):
+        """Liang-Barsky segment vs axis-aligned box."""
+        t0, t1 = 0.0, 1.0
+        dx, dy = x2 - x1, y2 - y1
+        for p, q in (
+            (-dx, x1 - bx0), (dx, bx1 - x1), (-dy, y1 - by0), (dy, by1 - y1),
+        ):
+            if p == 0.0:
+                if q < 0.0:
+                    return False
+            else:
+                r = q / p
+                if p < 0.0:
+                    t0 = max(t0, r)
+                else:
+                    t1 = min(t1, r)
+                if t0 > t1:
+                    return False
+        return True
+
+    cx0 = int(np.floor(vx.min() / cell_size)) - 1
+    cx1 = int(np.floor(vx.max() / cell_size)) + 1
+    cy0 = int(np.floor(vy.min() / cell_size)) - 1
+    cy1 = int(np.floor(vy.max() / cell_size)) + 1
+    nv = len(vx)
+    interior, boundary = set(), set()
+    for cx in range(cx0, cx1 + 1):
+        for cy in range(cy0, cy1 + 1):
+            bx0, by0 = cx * cell_size, cy * cell_size
+            bx1, by1 = bx0 + cell_size, by0 + cell_size
+            # boundary iff any polygon edge intersects the cell box (sound
+            # for arbitrary simple polygons); else class = center's class
+            crossed = any(
+                seg_hits_box(vx[i], vy[i], vx[(i + 1) % nv], vy[(i + 1) % nv],
+                             bx0, by0, bx1, by1)
+                for i in range(nv)
+            )
+            if crossed:
+                boundary.add((cx, cy))
+            elif bool(ray(np.array([bx0 + cell_size / 2]), np.array([by0 + cell_size / 2]))[0]):
+                interior.add((cx, cy))
+    return interior, boundary
+
+
 def point_in_polygon(
     points: DataFrame,
     polygon: Sequence[tuple[float, float]],
     x_col: str = "x",
     y_col: str = "y",
     out_col: str = "inside",
+    cell_size: float | None = None,
 ) -> DataFrame:
     """Flag points inside a simple polygon (even-odd ray cast).
 
     Physical plan: the polygon bbox becomes a plain column predicate (pushed
-    into the parquet scan by Catalyst); only bbox survivors reach the
-    vectorized pandas UDF that runs the exact numpy ray-cast.  Points outside
-    the bbox are inside=false without touching Python.
+    into the parquet scan by Catalyst); with ``cell_size`` set, a broadcast
+    cell cover further routes points — interior-cell points are inside=true
+    with NO Python, only boundary-cell points reach the vectorized numpy
+    ray-cast UDF (SURVEY.md §2.3 cell-cover design).
+
+    The cover is sound for arbitrary simple polygons: a cell is 'boundary'
+    iff a polygon edge intersects it (Liang-Barsky), otherwise its class is
+    its center's class.
     """
     vx = np.array([p[0] for p in polygon], dtype=np.float64)
     vy = np.array([p[1] for p in polygon], dtype=np.float64)
@@ -208,9 +280,33 @@ def point_in_polygon(
         & (F.col(y_col) >= ymin)
         & (F.col(y_col) <= ymax)
     )
+    if cell_size is None:
+        return points.withColumn(
+            out_col,
+            F.when(in_bbox, _ray_cast(F.col(x_col), F.col(y_col))).otherwise(
+                F.lit(False)
+            ),
+        )
+
+    interior, boundary = polygon_cell_cover(polygon, cell_size)
+    enc = lambda c: (c[0] << 21) ^ (c[1] & ((1 << 21) - 1))  # noqa: E731
+    key = F.shiftleft(
+        F.floor(F.col(x_col) / F.lit(cell_size)).cast("long"), 21
+    ).bitwiseXOR(
+        F.floor(F.col(y_col) / F.lit(cell_size))
+        .cast("long")
+        .bitwiseAND(F.lit((1 << 21) - 1))
+    )
+    interior_keys = [enc(c) for c in interior] or [-(1 << 62)]
+    boundary_keys = [enc(c) for c in boundary] or [-(1 << 62)]
     return points.withColumn(
         out_col,
-        F.when(in_bbox, _ray_cast(F.col(x_col), F.col(y_col))).otherwise(F.lit(False)),
+        F.when(key.isin(interior_keys), F.lit(True))
+        .when(
+            key.isin(boundary_keys) & in_bbox,
+            _ray_cast(F.col(x_col), F.col(y_col)),
+        )
+        .otherwise(F.lit(False)),
     )
 
 

@@ -49,6 +49,24 @@ def test_cell_metrics(spark, tmp_path):
     assert metrics.count() == back.count()
 
 
+def test_pair_metrics(spark, tmp_path):
+    from gstools_core_spark.operators.checkpoint import emit_pair_metrics
+    from pyspark.sql import functions as F
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    xy = rng.uniform(-5, 5, size=(400, 2))
+    rows = [(i, float(xy[i, 0]), float(xy[i, 1])) for i in range(400)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    metrics = emit_pair_metrics(pts, 1.0, str(tmp_path / "pm"))
+    total = metrics.agg(F.sum("n_pairs")).collect()[0][0]
+    ii, jj = np.triu_indices(400, k=1)
+    d = np.sqrt(np.sum((xy[ii] - xy[jj]) ** 2, axis=1))
+    assert total == int((d < 1.0).sum())
+    back = spark.read.json(str(tmp_path / "pm"))
+    assert back.count() == metrics.count()
+
+
 def test_text_byte_identical_through_pipeline(spark):
     """North-rule invariant: `text` passes through untouched per url."""
     pages = synthesize_pages(spark, 300)

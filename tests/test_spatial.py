@@ -120,6 +120,43 @@ def test_point_in_polygon(spark):
     np.testing.assert_array_equal(got["inside"].to_numpy(), want)
     assert want.sum() > 10  # sanity: polygon actually contains points
 
+    # cell-cover path must agree exactly with the bbox+ray-cast path
+    got_cover = (
+        S.point_in_polygon(df, poly, cell_size=1.5).orderBy("id").toPandas()
+    )
+    np.testing.assert_array_equal(got_cover["inside"].to_numpy(), want)
+
+
+def test_polygon_cell_cover_sound(spark):
+    poly = [(-5.0, -5.0), (5.0, -5.0), (0.0, 0.0), (5.0, 5.0), (-5.0, 5.0)]
+    interior, boundary = S.polygon_cell_cover(poly, 1.0)
+    vx = np.array([p[0] for p in poly])
+    vy = np.array([p[1] for p in poly])
+
+    def ray_cast(px, py):
+        inside = False
+        j = len(vx) - 1
+        for i in range(len(vx)):
+            if (vy[i] > py) != (vy[j] > py):
+                x_at = vx[i] + (py - vy[i]) * (vx[j] - vx[i]) / (vy[j] - vy[i])
+                if px < x_at:
+                    inside = not inside
+            j = i
+        return inside
+
+    # every point of a fine sample inside an interior cell must be inside
+    # the polygon; every inside point must fall in interior ∪ boundary
+    rng = np.random.default_rng(5)
+    xs = rng.uniform(-6, 6, 3000)
+    ys = rng.uniform(-6, 6, 3000)
+    for px, py in zip(xs, ys):
+        cell = (int(np.floor(px / 1.0)), int(np.floor(py / 1.0)))
+        inside = ray_cast(px, py)
+        if cell in interior:
+            assert inside
+        elif cell not in boundary:
+            assert not inside
+
 
 def test_rasterize_tiles_dense_grids(spark):
     df, x, y = _cloud_df(spark, 300, 9, "id")
