@@ -92,6 +92,69 @@ def knn_join(
     )
 
 
+def geo_knn_join(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    radius_rad: float,
+    query_id: str = "qid",
+    base_id: str = "bid",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 80.0,
+) -> DataFrame:
+    """kNN join on the sphere: neighbors within ``radius_rad`` central angle
+    (haversine, radians — reference unit, variogram.rs:107-118), ranked per
+    query.  Blocking grid in degrees with a sec(lat) longitude factor;
+    |lat| must be ≤ max_abs_lat."""
+    import math
+
+    cell_lat = math.degrees(radius_rad)
+    cell_lon = cell_lat / max(
+        math.cos(math.radians(min(max_abs_lat, 89.0)) + radius_rad), 1e-6
+    )
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(lat_col).alias("q_lat"),
+        F.col(lon_col).alias("q_lon"),
+        F.floor(F.col(lat_col) / F.lit(cell_lat)).cast("long").alias("cx"),
+        F.floor(F.col(lon_col) / F.lit(cell_lon)).cast("long").alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    q = q.withColumn("_off", F.explode(offsets)).select(
+        "qid", "q_lat", "q_lon",
+        (F.col("cx") + F.col("_off.dx")).alias("jcx"),
+        (F.col("cy") + F.col("_off.dy")).alias("jcy"),
+    )
+    b = base.select(
+        F.col(base_id).alias("bid"),
+        F.col(lat_col).alias("b_lat"),
+        F.col(lon_col).alias("b_lon"),
+        F.floor(F.col(lat_col) / F.lit(cell_lat)).cast("long").alias("jcx"),
+        F.floor(F.col(lon_col) / F.lit(cell_lon)).cast("long").alias("jcy"),
+    )
+    dist = D.haversine(
+        F.col("q_lat"), F.col("q_lon"), F.col("b_lat"), F.col("b_lon")
+    )
+    cand = (
+        q.join(b, ["jcx", "jcy"])
+        .withColumn("dist", dist)
+        .where(F.col("dist") <= F.lit(radius_rad))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("bid").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "bid", "dist", "rank")
+    )
+
+
 def knn_join_adaptive(
     queries: DataFrame,
     base: DataFrame,

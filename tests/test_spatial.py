@@ -77,6 +77,61 @@ def test_knn_join_matches_bruteforce(spark):
     assert got_set == want_set
 
 
+def test_geo_knn_join_matches_bruteforce(spark):
+    rng = np.random.default_rng(13)
+    qlat = rng.uniform(-60, 60, 20)
+    qlon = rng.uniform(-170, 170, 20)
+    blat = rng.uniform(-60, 60, 400)
+    blon = rng.uniform(-170, 170, 400)
+    q = spark.createDataFrame(
+        [(i, float(qlat[i]), float(qlon[i])) for i in range(20)],
+        "qid long, lat double, lon double",
+    )
+    b = spark.createDataFrame(
+        [(i, float(blat[i]), float(blon[i])) for i in range(400)],
+        "bid long, lat double, lon double",
+    )
+    radius = 0.3  # radians central angle
+    got = {
+        (r["qid"], r["bid"], r["rank"])
+        for r in S.geo_knn_join(q, b, k=3, radius_rad=radius).collect()
+    }
+
+    from gstools_core_spark import kernels as K
+
+    want = set()
+    for qi in range(20):
+        d = K.haversine_dist(
+            np.vstack([np.full(400, qlat[qi]), np.full(400, qlon[qi])]),
+            np.vstack([blat, blon]),
+        )
+        order = sorted((float(d[bi]), bi) for bi in range(400) if d[bi] <= radius)
+        for rank, (_dd, bi) in enumerate(order[:3], start=1):
+            want.add((qi, bi, rank))
+    assert got == want
+
+
+def test_cell_partitioned_write_prunes(spark, tmp_path):
+    from gstools_core_spark.sources.pages import geocode, synthesize_pages
+    from gstools_core_spark.sources.writer import read_cells, write_partitioned_by_cell
+    from pyspark.sql import functions as F
+    from gstools_core_spark import plans as PL
+
+    pages = geocode(synthesize_pages(spark, 400)).select("url", "lat", "lon")
+    out = str(tmp_path / "pages_by_cell")
+    write_partitioned_by_cell(pages, out, prefix_res=2)
+
+    back = read_cells(spark, out)
+    assert back.count() == 400
+    prefixes = [r["cell_prefix"] for r in back.select("cell_prefix").distinct().collect()]
+    one = prefixes[0]
+    pruned = read_cells(spark, out, [one])
+    assert pruned.count() == back.where(F.col("cell_prefix") == one).count()
+    # partition pruning visible in the plan
+    p = PL.plan_string(pruned)
+    assert "PartitionFilters" in p and "cell_prefix" in p
+
+
 def test_knn_join_adaptive_expands_radius(spark):
     # base points far from the query: round-0 radius finds nothing,
     # expansion must still deliver k neighbors
