@@ -161,6 +161,42 @@ def test_structured_masked_matches_kernel(spark):
     np.testing.assert_allclose(g_fast, want, rtol=1e-9)
 
 
+def test_unstructured_3d_matches_kernel(spark):
+    """3-D points: the 2-D blocking grid is a (correct) superset prefilter —
+    any pair within max_dist is within the xy-ring; z only enters the exact
+    distance (reference supports arbitrary dims, variogram.rs:92-103)."""
+    rng = np.random.default_rng(21)
+    pos3 = rng.uniform(-5.0, 5.0, size=(3, 150))
+    vals = rng.normal(size=150)
+    rows = [
+        (i, float(pos3[0, i]), float(pos3[1, i]), float(pos3[2, i]), float(vals[i]))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double, z double, val double")
+    edges = np.linspace(0.0, 4.0, 5)
+    got = V.variogram_unstructured(df, edges, coords=("x", "y", "z"))
+    g, c = _collect_gamma(got)
+    want_g, want_c = K.variogram_unstructured(vals[None, :], edges, pos3)
+    np.testing.assert_allclose(g, want_g, rtol=1e-9)
+    np.testing.assert_array_equal(c, want_c)
+
+
+def test_variogram_degenerate_inputs(spark):
+    edges = [0.0, 1.0, 2.0]
+    # single point: no pairs → dense zero bins (reference count==0 guard)
+    one = spark.createDataFrame([(0, 1.0, 1.0, 5.0)], "id long, x double, y double, val double")
+    rows = V.variogram_unstructured(one, edges).orderBy("bin_id").collect()
+    assert [r["gamma"] for r in rows] == [0.0, 0.0]
+    assert [r["counts"] for r in rows] == [0, 0]
+
+    # coincident points: dist=0 pairs land in bin 0 with zero diff
+    same = spark.createDataFrame(
+        [(i, 2.0, 2.0, 3.0) for i in range(4)], "id long, x double, y double, val double"
+    )
+    rows = V.variogram_unstructured(same, edges).orderBy("bin_id").collect()
+    assert rows[0]["counts"] == 6 and rows[0]["gamma"] == 0.0
+
+
 def test_pair_join_exact_pairs(spark):
     """Blocked pair join returns exactly the pairs within max_dist."""
     from gstools_core_spark.operators.pair_join import pair_join
