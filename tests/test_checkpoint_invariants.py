@@ -121,6 +121,37 @@ def test_streaming_windowed_matches_batch(spark, sf_dir):
     assert g == b
 
 
+def test_stateful_streaming_sessions(spark, sf_dir):
+    """applyInPandasWithState sessionization == batch-computed closed
+    sessions (the open tail session per user stays in state)."""
+    from gstools_core_spark.streaming.events import stateful_user_sessions
+
+    got = stateful_user_sessions(spark, f"{sf_dir}/events.parquet", gap_minutes=30)
+    got_set = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in got.collect()
+    }
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts").toPandas()
+    pdf["us"] = pdf["ts"].astype("datetime64[us]").astype("int64")
+    gap = 30 * 60 * 1_000_000
+    want = set()
+    for uid, grp in pdf.groupby("user_id"):
+        ts = sorted(grp["us"])
+        start, last, cnt = None, None, 0
+        for t in ts:
+            if last is not None and t - last > gap:
+                want.add((uid, start, last, cnt))
+                start, cnt = t, 0
+            if start is None:
+                start = t
+            last = t
+            cnt += 1
+        # final session remains open → not emitted
+    assert got_set == want
+    assert len(want) > 0
+
+
 def test_multimodal_plumbing(spark):
     media = synthesize_media(spark, 60)
     feats = extract_features(media, feature_dim=8, mode="fake")
