@@ -49,11 +49,23 @@ def bin_id_col(dist, bin_edges: Sequence[float]):
     return expr
 
 
-def _diffs_exploded(pairs: DataFrame, val_cols: Sequence[str]) -> DataFrame:
+def _diffs_exploded(
+    pairs: DataFrame, val_cols: Sequence[str], vals_array: bool = False
+) -> DataFrame:
     """One row per (pair, field) with the field difference; NaN/null diffs
     dropped (reference NaN skip, variogram.rs:521-525).  Multi-field rows
-    share bin cells and counts (variogram.rs:399-407)."""
-    diffs = F.array(*[F.col(f"a_{v}") - F.col(f"b_{v}") for v in val_cols])
+    share bin cells and counts (variogram.rs:399-407).
+
+    ``vals_array=True``: val_cols[0] is an ArrayType(Double) column (the
+    SURVEY §1.4 multi-realization layout) — element-wise differences via
+    zip_with."""
+    if vals_array:
+        v = val_cols[0]
+        diffs = F.zip_with(
+            F.col(f"a_{v}"), F.col(f"b_{v}"), lambda a, b: a - b
+        )
+    else:
+        diffs = F.array(*[F.col(f"a_{v}") - F.col(f"b_{v}") for v in val_cols])
     out = pairs.withColumn("f_diff", F.explode(diffs))
     return out.where(F.col("f_diff").isNotNull() & ~F.isnan(F.col("f_diff")))
 
@@ -67,11 +79,15 @@ def variogram_unstructured(
     estimator: str = "m",
     distance: str = "e",
     salt_partitions: int | None = None,
+    vals_array: bool = False,
 ) -> DataFrame:
     """All-pairs binned variogram → (bin_id, lo, hi, gamma, counts).
 
     Distance 'e' = Euclid (any dim), anything else = Haversine on
     (lat, lon) degree coords with bin edges in radians (variogram.rs:75-123).
+    ``vals_array=True`` treats val_cols[0] as an array<double> of stacked
+    field realizations (counts include field multiplicity, matching the
+    reference).
     """
     spark = points.sparkSession
     haversine = distance != "e"
@@ -86,7 +102,7 @@ def variogram_unstructured(
     ).where(F.col("dist") >= F.lit(float(bin_edges[0])))
 
     binned = pairs.withColumn("bin_id", bin_id_col(F.col("dist"), bin_edges))
-    per_field = _diffs_exploded(binned, val_cols)
+    per_field = _diffs_exploded(binned, val_cols, vals_array)
     agg = per_field.groupBy("bin_id").agg(
         F.sum(E.estimate(F.col("f_diff"), estimator)).alias("vsum"),
         F.count(F.lit(1)).alias("counts"),

@@ -74,6 +74,20 @@ def test_unstructured_multi_field(spark):
     np.testing.assert_array_equal(c, want_c)
 
 
+def test_unstructured_vals_array_column(spark):
+    """Array<double> multi-field layout == column layout == kernel."""
+    rows = [
+        (i, float(POS[0, i]), float(POS[1, i]), [float(VALS[i]), float(VALS2[i])])
+        for i in range(N)
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double, vals array<double>")
+    got = V.variogram_unstructured(df, BIN_EDGES, val_cols=("vals",), vals_array=True)
+    g, c = _collect_gamma(got)
+    want_g, want_c = K.variogram_unstructured(np.vstack([VALS, VALS2]), BIN_EDGES, POS)
+    np.testing.assert_allclose(g, want_g, rtol=1e-9)
+    np.testing.assert_array_equal(c, want_c)
+
+
 def test_unstructured_haversine(spark):
     lat = RNG.uniform(-60.0, 60.0, size=N)
     lon = RNG.uniform(-170.0, 170.0, size=N)
