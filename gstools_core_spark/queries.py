@@ -69,6 +69,8 @@ def _prep(spark: SparkSession) -> None:
     """Defensive session settings (the driver owns the session)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # sf0.01-appropriate task granularity if the session default is 200
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 
 def _docs_points(spark: SparkSession, sf_dir: str) -> DataFrame:
