@@ -45,6 +45,8 @@ def pair_join(
     haversine: bool = False,
     max_abs_lat: float = 89.0,
     salt_partitions: int | None = None,
+    salt_hot: int | None = None,
+    hot_threshold: int = 50_000,
 ) -> DataFrame:
     """Return one row per unordered pair (a, b) with dist(a,b) < max_dist.
 
@@ -54,6 +56,14 @@ def pair_join(
     ``max_dist`` is a central angle in RADIANS (variogram.rs:107-118); the
     blocking grid is sized in degrees with a sec(lat) safety factor on
     longitude, so points must satisfy |lat| <= max_abs_lat.
+
+    ``salt_hot=S`` enables EXPLICIT hot-cell salting (north rule): cells
+    whose point count exceeds ``hot_threshold`` get their join key extended
+    with a salt — the stamped (left) side takes ``pmod(xxhash64(id), S)``,
+    the right side is replicated across all S salts — splitting one hot
+    cell's pair work across S reducers.  Each pair is still produced exactly
+    once (the left row's salt selects one of the S replicas).  Cold cells
+    pay nothing (salt 0, no replication).
     """
     import math
 
@@ -94,14 +104,47 @@ def pair_join(
         F.col("cy").alias("jcy"),
     )
 
+    join_keys = ["jcx", "jcy"]
+    if salt_hot:
+        hot = (
+            pts.groupBy("cx", "cy")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > hot_threshold)
+            .collect()
+        )
+        hot_keys = [f"{r['cx']},{r['cy']}" for r in hot]
+        if hot_keys:
+            key_str = F.concat_ws(",", F.col("jcx"), F.col("jcy"))
+            left = left.withColumn(
+                "jsalt",
+                F.when(
+                    key_str.isin(hot_keys),
+                    F.pmod(F.xxhash64(F.col(f"a_{id_col}")), F.lit(salt_hot)),
+                )
+                .otherwise(F.lit(0))
+                .cast("long"),
+            )
+            right = (
+                right.withColumn(
+                    "_salts",
+                    F.when(
+                        key_str.isin(hot_keys), F.sequence(F.lit(0), F.lit(salt_hot - 1))
+                    ).otherwise(F.array(F.lit(0))),
+                )
+                .withColumn("jsalt", F.explode("_salts"))
+                .withColumn("jsalt", F.col("jsalt").cast("long"))
+                .drop("_salts")
+            )
+            join_keys = ["jcx", "jcy", "jsalt"]
+
     if salt_partitions:
         # explicit co-partitioning before the join; AQE still splits skew
-        left = left.repartition(salt_partitions, "jcx", "jcy")
-        right = right.repartition(salt_partitions, "jcx", "jcy")
+        left = left.repartition(salt_partitions, *join_keys)
+        right = right.repartition(salt_partitions, *join_keys)
 
     # same-cell matches appear in both orientations → keep a < b there;
     # cross-cell matches are generated exactly once by the half-stencil
-    joined = left.join(right, on=["jcx", "jcy"], how="inner").where(
+    joined = left.join(right, on=join_keys, how="inner").where(
         ~F.col("_same_cell") | (F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
     )
 

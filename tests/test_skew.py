@@ -36,6 +36,17 @@ def test_pair_join_hot_cell_exact(spark):
     assert got == int((d < 1.0).sum())
 
 
+def test_pair_join_explicit_salting_exact(spark):
+    """salt_hot splits the hot cell's join key without changing the result."""
+    df, pos, _ = _skewed_points(spark)
+    pairs = pair_join(df, max_dist=1.0, salt_hot=8, hot_threshold=300)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.select("a_id", "b_id").collect()}
+    ii, jj = np.triu_indices(pos.shape[1], k=1)
+    d = np.sqrt(np.sum((pos[:, ii] - pos[:, jj]) ** 2, axis=0))
+    want = {(int(a), int(b)) for a, b in zip(ii[d < 1.0], jj[d < 1.0])}
+    assert got == want
+
+
 def test_variogram_on_skewed_cloud_matches_kernel(spark):
     df, pos, val = _skewed_points(spark)
     edges = [0.0, 0.25, 0.5, 0.75, 1.0]
