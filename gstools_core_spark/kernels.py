@@ -82,10 +82,12 @@ def haversine_dist(pos_a: np.ndarray, pos_b: np.ndarray) -> np.ndarray:
 
     ``pos[0]`` = latitude, ``pos[1]`` = longitude, both in degrees.
     """
-    lat1, lon1 = np.radians(pos_a[0]), np.radians(pos_a[1])
-    lat2, lon2 = np.radians(pos_b[0]), np.radians(pos_b[1])
-    dlat = lat1 - lat2
-    dlon = lon1 - lon2
+    lat1, lat2 = np.radians(pos_a[0]), np.radians(pos_b[0])
+    # radians(Δdegrees), matching variogram.rs:109 and functions/distance.py
+    # operation order exactly — radians(a)-radians(b) differs by 1 ulp and
+    # can flip half-open bin membership at an exact bin edge.
+    dlat = np.radians(pos_a[0] - pos_b[0])
+    dlon = np.radians(pos_a[1] - pos_b[1])
     sdlat = np.sin(dlat / 2.0)
     sdlon = np.sin(dlon / 2.0)
     arg = sdlat * sdlat + np.cos(lat1) * np.cos(lat2) * sdlon * sdlon

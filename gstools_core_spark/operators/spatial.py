@@ -101,43 +101,61 @@ def geo_knn_join(
     base_id: str = "bid",
     lat_col: str = "lat",
     lon_col: str = "lon",
-    max_abs_lat: float = 80.0,
+    max_abs_lat: float | None = None,
 ) -> DataFrame:
     """kNN join on the sphere: neighbors within ``radius_rad`` central angle
     (haversine, radians — reference unit, variogram.rs:107-118), ranked per
-    query.  Blocking grid in degrees with a sec(lat) longitude factor;
-    |lat| must be ≤ max_abs_lat."""
+    query.  Latitude cells of width degrees(radius); longitude cells WRAP at
+    the antimeridian (same grid as pair_join.haversine_grid — a single
+    planet-wide lon cell when the secant bound degenerates).  The latitude
+    bound is derived from the data (max over BOTH sides) unless given."""
     import math
 
-    cell_lat = math.degrees(radius_rad)
-    cell_lon = cell_lat / max(
-        math.cos(math.radians(min(max_abs_lat, 89.0)) + radius_rad), 1e-6
-    )
+    from gstools_core_spark.operators.pair_join import haversine_grid
+
+    if max_abs_lat is None:
+        qb = queries.select(F.abs(F.col(lat_col)).alias("al")).unionByName(
+            base.select(F.abs(F.col(lat_col)).alias("al"))
+        )
+        row = qb.agg(F.max("al")).first()
+        max_abs_lat = float(row[0]) if row and row[0] is not None else 0.0
+    cell_lat, n_lon, lon_w = haversine_grid(radius_rad, max_abs_lat)
+
+    def lon_cell(c):
+        if n_lon == 1:
+            return F.lit(0).cast("long")
+        cy = F.floor((c + F.lit(180.0)) / F.lit(lon_w)).cast("long")
+        return F.least(cy, F.lit(n_lon - 1))
+
     q = queries.select(
         F.col(query_id).alias("qid"),
         F.col(lat_col).alias("q_lat"),
         F.col(lon_col).alias("q_lon"),
         F.floor(F.col(lat_col) / F.lit(cell_lat)).cast("long").alias("cx"),
-        F.floor(F.col(lon_col) / F.lit(cell_lon)).cast("long").alias("cy"),
+        lon_cell(F.col(lon_col)).alias("cy"),
     )
+    lon_offs = (-1, 0, 1) if n_lon > 1 else (0,)
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
             for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
+            for dy in lon_offs
         ]
     )
+    jcy = F.col("cy") + F.col("_off.dy")
+    if n_lon > 1:
+        jcy = F.pmod(jcy, F.lit(n_lon))
     q = q.withColumn("_off", F.explode(offsets)).select(
         "qid", "q_lat", "q_lon",
         (F.col("cx") + F.col("_off.dx")).alias("jcx"),
-        (F.col("cy") + F.col("_off.dy")).alias("jcy"),
+        jcy.alias("jcy"),
     )
     b = base.select(
         F.col(base_id).alias("bid"),
         F.col(lat_col).alias("b_lat"),
         F.col(lon_col).alias("b_lon"),
         F.floor(F.col(lat_col) / F.lit(cell_lat)).cast("long").alias("jcx"),
-        F.floor(F.col(lon_col) / F.lit(cell_lon)).cast("long").alias("jcy"),
+        lon_cell(F.col(lon_col)).alias("jcy"),
     )
     dist = D.haversine(
         F.col("q_lat"), F.col("q_lon"), F.col("b_lat"), F.col("b_lon")
@@ -364,7 +382,7 @@ def point_in_polygon(
     boundary_keys = [enc(c) for c in boundary] or [-(1 << 62)]
     return points.withColumn(
         out_col,
-        F.when(key.isin(interior_keys), F.lit(True))
+        F.when(key.isin(interior_keys) & in_bbox, F.lit(True))
         .when(
             key.isin(boundary_keys) & in_bbox,
             _ray_cast(F.col(x_col), F.col(y_col)),

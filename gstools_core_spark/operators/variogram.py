@@ -80,14 +80,17 @@ def variogram_unstructured(
     distance: str = "e",
     salt_partitions: int | None = None,
     vals_array: bool = False,
+    max_abs_lat: float | None = None,
 ) -> DataFrame:
     """All-pairs binned variogram → (bin_id, lo, hi, gamma, counts).
 
-    Distance 'e' = Euclid (any dim), anything else = Haversine on
-    (lat, lon) degree coords with bin edges in radians (variogram.rs:75-123).
-    ``vals_array=True`` treats val_cols[0] as an array<double> of stacked
-    field realizations (counts include field multiplicity, matching the
-    reference).
+    Distance 'e' = Euclid (any dim, blocked on every coordinate), anything
+    else = Haversine on (lat, lon) degree coords with bin edges in radians
+    (variogram.rs:75-123); ``max_abs_lat`` optionally pins the data's
+    latitude bound for the longitude blocking grid (derived from the data
+    otherwise — see pair_join).  ``vals_array=True`` treats val_cols[0] as
+    an array<double> of stacked field realizations (counts include field
+    multiplicity, matching the reference).
     """
     spark = points.sparkSession
     haversine = distance != "e"
@@ -98,6 +101,7 @@ def variogram_unstructured(
         coords=coords,
         payload_cols=val_cols,
         haversine=haversine,
+        max_abs_lat=max_abs_lat,
         salt_partitions=salt_partitions,
     ).where(F.col("dist") >= F.lit(float(bin_edges[0])))
 

@@ -27,7 +27,7 @@ def test_pair_join_is_equi_join_not_cartesian(spark, sf_dir):
     p = PL.plan_string(pairs)
     # ring join must be a hash/sort-merge equi join on the cell keys
     assert "Join" in p
-    assert "jcx" in p and "jcy" in p
+    assert "jc0" in p and "jc1" in p
 
 
 def test_variogram_bins_join_is_broadcast(spark, sf_dir):

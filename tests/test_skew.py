@@ -45,6 +45,10 @@ def test_pair_join_explicit_salting_exact(spark):
     d = np.sqrt(np.sum((pos[:, ii] - pos[:, jj]) ** 2, axis=0))
     want = {(int(a), int(b)) for a, b in zip(ii[d < 1.0], jj[d < 1.0])}
     assert got == want
+    # hot-cell detection is a broadcast join, not a driver-collected isin
+    # literal list (plan-size-safe when thousands of cells are hot)
+    plan = pairs._jdf.queryExecution().toString()
+    assert " IN (" not in plan and "jsalt" in plan
 
 
 def test_variogram_on_skewed_cloud_matches_kernel(spark):

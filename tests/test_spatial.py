@@ -182,6 +182,23 @@ def test_point_in_polygon(spark):
     np.testing.assert_array_equal(got_cover["inside"].to_numpy(), want)
 
 
+def test_pip_cell_key_collision_guarded(spark):
+    """The packed cell key folds cy modulo 2^21; a far-away point whose key
+    collides with an interior cell must still be outside (bbox guard on the
+    interior branch)."""
+    poly = [(-5.0, -5.0), (5.0, -5.0), (5.0, 5.0), (-5.0, 5.0)]
+    cs = 1.5
+    interior, _ = S.polygon_cell_cover(poly, cs)
+    assert interior, "need an interior cell for the scenario"
+    icx, icy = sorted(interior)[0]
+    # same cx, cy shifted by 2^21 → identical packed key, far outside bbox
+    far_y = (icy + (1 << 21)) * cs + cs / 2.0
+    rows = [(0, icx * cs + cs / 2.0, float(far_y))]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = S.point_in_polygon(df, poly, cell_size=cs).collect()
+    assert out[0]["inside"] is False
+
+
 def test_polygon_cell_cover_sound(spark):
     poly = [(-5.0, -5.0), (5.0, -5.0), (0.0, 0.0), (5.0, 5.0), (-5.0, 5.0)]
     interior, boundary = S.polygon_cell_cover(poly, 1.0)
