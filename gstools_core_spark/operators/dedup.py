@@ -1,10 +1,14 @@
 """Deduplication operators for the large-scale training-data pipeline layer.
 
-All candidate generation is JVM-side (xxhash64, array ops, equi-joins on
-bucket keys — never a cross join); Python appears only in the simhash UDF.
-Scale shape: shingle→signature is a per-row map (no shuffle); candidate
-pairing is an equi-join on (band, bucket) keys; verification touches only
-candidate pairs.
+All candidate generation is JVM-side (array ops, equi-joins on bucket keys —
+never a cross join); no per-row Python anywhere.  Scale shape:
+shingle→signature is a per-row map (no shuffle); candidate pairing is an
+equi-join on (band, bucket) keys; verification touches only candidate pairs.
+
+Hashing is PORTABLE by default (md5-derived integers, functions/hashing.py)
+so every operator here is differentially testable against a DuckDB oracle;
+pass ``hash_fn="xx"`` for xxhash64 when that isn't needed (~5-10× faster
+hash, same plan shape).
 """
 
 from __future__ import annotations
@@ -13,8 +17,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from gstools_core_spark.functions import hashing as H
+
 # a large prime < 2^31 for the affine minhash family
 _MH_PRIME = 2147483647
+
+
+def _str_hash(c: Column, hash_fn: str) -> Column:
+    return F.xxhash64(c) if hash_fn == "xx" else H.portable_hash(c)
 
 
 def exact_dedup(df: DataFrame, key_cols, id_col: str) -> DataFrame:
@@ -45,14 +55,21 @@ def shingles_col(text: Column, k: int = 5) -> Column:
 
 
 def minhash_signature(
-    df: DataFrame, text_col: str, num_hashes: int = 64, shingle_k: int = 5
+    df: DataFrame,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """Append ``shingles`` and a ``signature`` array<long> of length
     ``num_hashes``: sig_i = min over shingles of (a_i·h(s)+b_i) mod prime,
-    with h = xxhash64 (JVM) folded into [0, prime)."""
+    with h the base hash folded into [0, prime) (keeps the affine multiply
+    below 2^62 — DuckDB errors on 64-bit overflow, Spark wraps)."""
     sh = shingles_col(F.col(text_col), shingle_k)
     base = df.withColumn("shingles", sh)
-    hashed = F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
+    hashed = F.transform(
+        F.col("shingles"), lambda s: F.pmod(_str_hash(s, hash_fn), F.lit(_MH_PRIME))
+    )
     base = base.withColumn("_sh_hash", hashed)
     sig = F.array(
         *[
@@ -73,21 +90,21 @@ def minhash_signature(
 def minhash_lsh_candidates(
     sigs: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 8
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become a candidate pair
-    (a < b).  One explode + one self equi-join on (band, bucket)."""
+    """LSH banding: docs sharing any band become a candidate pair (a < b).
+    One explode + one self equi-join on (band, band-content key).  The key
+    is the band's literal signature slice (joined as a string), not a hash
+    of it — exact bucket semantics, mirrored 1:1 by the SQL oracle."""
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("signature")[b * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("signature")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
                     )
                     for b in range(bands)
                 ]
@@ -130,15 +147,18 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 8,
     shingle_k: int = 5,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """Near-dup removal: a doc is dropped if it verifies ≥threshold Jaccard
     against any candidate with a smaller id (single-pass canonicalization —
     the standard web-dedup contract, not full connected components)."""
+    from gstools_core_spark.operators.cache import track
+
     # persist the signature table: the band self-join and the verify join
     # each read it from both sides — without this the (expensive) shingle +
     # signature expressions recompute 4×.  At warehouse scale this is the
-    # materialized signatures table.
-    sigs = minhash_signature(df, text_col, num_hashes, shingle_k).persist()
+    # materialized signatures table.  Tracked for cache.clear_tracked().
+    sigs = track(minhash_signature(df, text_col, num_hashes, shingle_k, hash_fn).persist())
     cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
     dups = (
         jaccard_verify(cands, sigs, id_col, threshold)
@@ -148,45 +168,95 @@ def minhash_dedup(
     return df.join(dups, id_col, "left_anti")
 
 
-def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+def simhash64(
+    df: DataFrame, text_col: str, out_col: str = "simhash", hash_fn: str = "portable"
+) -> DataFrame:
     """64-bit SimHash over whitespace tokens, fully JVM-side:
-    bit k of the hash = sign of Σ_tokens (2·bit_k(xxhash64(token)) − 1)."""
-    tokens = F.split(F.col(text_col), " ")
-    tok_hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    bit k of the hash = sign of Σ_tokens (2·bit_k(h(token)) − 1).
 
-    def _bit_sum(k: int):
+    With the portable hash, bits 0..59 come from h1 (md5 hex 1..15) and
+    bits 60..63 from the low bits of h2 (md5 hex 16..30) — the same bit
+    source the SQL oracle reads."""
+    tokens = F.split(F.col(text_col), " ")
+    if hash_fn == "xx":
+        tok_h1 = F.transform(tokens, lambda t: F.xxhash64(t))
+        tok_h2 = F.transform(tokens, lambda t: F.shiftrightunsigned(F.xxhash64(t), 32))
+    else:
+        tok_h1 = F.transform(tokens, lambda t: H.portable_hash(t))
+        tok_h2 = F.transform(tokens, lambda t: H.portable_hash2(t))
+
+    def _bit_sum(arr: Column, k: int):
         def merge(acc, h):
             return acc + F.shiftrightunsigned(h, k).bitwiseAND(F.lit(1)) * 2 - 1
 
-        return F.aggregate(tok_hashes, F.lit(0).cast("long"), merge)
+        return F.aggregate(arr, F.lit(0).cast("long"), merge)
 
-    bit_sums = [_bit_sum(k) for k in range(64)]
     sim = None
-    for k, s in enumerate(bit_sums):
+    for k in range(64):
+        s = _bit_sum(tok_h1, k) if k < 60 else _bit_sum(tok_h2, k - 60)
         bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, k)
         sim = term if sim is None else sim.bitwiseOR(term)
     return df.withColumn(out_col, sim)
 
 
+def simhash_band_widths(n_bands: int, n_bits: int = 64) -> list[tuple[int, int]]:
+    """(offset, width) per band, distributing ``n_bits`` as evenly as
+    possible (first ``n_bits % n_bands`` bands get the extra bit)."""
+    base, rem = divmod(n_bits, n_bands)
+    out, off = [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_near_dups(
-    df: DataFrame, id_col: str, sim_col: str = "simhash", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    sim_col: str = "simhash",
+    max_hamming: int = 3,
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """Pairs within Hamming distance ≤ max_hamming via 4-band blocking
-    (a pair within distance 3 of 64 bits shares at least one 16-bit band —
-    pigeonhole), then exact popcount verify → (a_id, b_id, hamming)."""
+    """ALL pairs within Hamming distance ≤ max_hamming via banding + exact
+    popcount verify → (a_id, b_id, hamming).
+
+    Soundness (pigeonhole): a pair with ≤ max_hamming mismatched bits over
+    ``n_bands`` disjoint bands must agree on ≥ n_bands − max_hamming ≥ 1
+    band, so candidates from per-band equality are a SUPERSET of the true
+    pairs — which requires ``n_bands > max_hamming``.  Default n_bands =
+    max_hamming + 1; anything smaller raises (the round-1 bug: 4 bands with
+    max_hamming=16 silently missed spread-out mismatches).
+
+    Scale note: width-per-band = 64/n_bands bits, so large max_hamming ⇒
+    narrow bands ⇒ populous buckets ⇒ quadratic in-bucket work.  Keep
+    max_hamming small at corpus scale (web dedup uses ≤ 3-8), or pre-split
+    buckets by a cheap doc attribute.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands ({n_bands}) must exceed max_hamming ({max_hamming}) — "
+            "pigeonhole recall guarantee would be violated"
+        )
+    if n_bands > 64:
+        raise ValueError("n_bands must be <= 64 (64-bit simhash)")
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col(sim_col), 16 * b)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col(sim_col), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
                 .alias("bucket"),
             )
-            for b in range(4)
+            for b, (off, w) in enumerate(simhash_band_widths(n_bands))
         ]
     )
-    keyed = (
+    from gstools_core_spark.operators.cache import track
+
+    keyed = track(
         df.select(F.col(id_col), F.col(sim_col))
         .withColumn("_b", F.explode(bands))
         .select(id_col, sim_col, "_b.band", "_b.bucket")
@@ -201,21 +271,78 @@ def simhash_near_dups(
     return (
         a.join(b, ["band", "bucket"])
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim"))).alias("hamming"))
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+            .cast("long")
+            .alias("hamming"),
+        )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, k: int = 5, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle:
-    explode shingles → self equi-join on shingle → per-pair intersection
-    count → |A∪B| = |A|+|B|−|A∩B| (no cross join anywhere)."""
-    sh = df.select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s")
-    ).persist()  # read 3×: both join sides + per-doc sizes
+    """Exact n-gram Jaccard similarity for candidate pairs → (a_id, b_id,
+    jaccard).
+
+    ``max_df=None``: candidates = every pair sharing ≥1 shingle (posting-
+    list self equi-join; per-pair intersection counts, |A∪B| = |A|+|B|−|A∩B|
+    — no cross join anywhere).
+
+    ``max_df=T``: standard web-dedup document-frequency cap — shingles
+    appearing in more than T docs are dropped from CANDIDATE GENERATION
+    (a stop-shingle like "the quick" otherwise creates a quadratic hot
+    key), and the Jaccard is then computed EXACTLY on the candidates' full
+    shingle sets.  Pairs whose every common shingle is hot are the
+    (deliberate, documented) recall loss.
+    """
+    from gstools_core_spark.operators.cache import track
+
+    sh = track(
+        df.select(
+            F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s")
+        ).persist()  # read 3×: both join sides + per-doc sizes / df counts
+    )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("s")
+        )
+        post = sh.join(keep, "s")
+        a = post.select(F.col(id_col).alias("a_id"), "s")
+        b = post.select(F.col(id_col).alias("b_id"), "s")
+        cands = (
+            a.join(b, "s")
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+        )
+        arrs = df.select(
+            F.col(id_col), shingles_col(F.col(text_col), k).alias("sh_arr")
+        )
+        joined = (
+            cands.join(arrs.select(F.col(id_col).alias("a_id"), F.col("sh_arr").alias("a_sh")), "a_id")
+            .join(arrs.select(F.col(id_col).alias("b_id"), F.col("sh_arr").alias("b_sh")), "b_id")
+        )
+        inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+        union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+        return (
+            joined.withColumn("jaccard", inter / union)
+            .where(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "jaccard")
+        )
+
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a_id"), "s")
     b = sh.select(F.col(id_col).alias("b_id"), "s")

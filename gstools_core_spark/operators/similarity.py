@@ -14,6 +14,7 @@ Three paths, increasingly scale-friendly:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -114,8 +115,9 @@ def cosine_topk(
     return q.mapInPandas(gen, "qid long, bid long, cos_sim double, rank int")
 
 
-def _assign_clusters(df: DataFrame, id_name: str, vec_col: str, centroids: np.ndarray, n_probe: int):
-    """mapInPandas: nearest ``n_probe`` centroid ids per vector (cosine)."""
+def _assign_clusters_np(df: DataFrame, id_name: str, vec_col: str, centroids: np.ndarray, n_probe: int):
+    """mapInPandas: nearest ``n_probe`` centroid ids per vector (cosine) —
+    one BLAS matmul per Arrow batch; the wide-quantizer path."""
     C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     npb = n_probe
 
@@ -126,7 +128,7 @@ def _assign_clusters(df: DataFrame, id_name: str, vec_col: str, centroids: np.nd
             V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             V = V / np.linalg.norm(V, axis=1, keepdims=True)
             sims = V @ C.T
-            order = np.argsort(-sims, axis=1)[:, :npb]
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
             rows = {
                 id_name: np.repeat(pdf[id_name].to_numpy(np.int64), npb),
                 "cluster": order.reshape(-1).astype(np.int64),
@@ -137,6 +139,54 @@ def _assign_clusters(df: DataFrame, id_name: str, vec_col: str, centroids: np.nd
     return df.mapInPandas(gen, f"{id_name} long, cluster long, probe_rank long")
 
 
+def _assign_clusters_expr(df: DataFrame, id_name: str, vec_col: str, centroids: np.ndarray, n_probe: int):
+    """JVM-expression assignment (no Python workers, no shuffle): cosine to
+    each centroid as a sequential fold over literal arrays, then an
+    array_sort top-n_probe.  Fold order matches the SQL oracle's
+    list_reduce bitwise.  Right choice while n_clusters is small (codegen
+    size grows with n_clusters — _assign_clusters_np takes over beyond
+    ``_EXPR_MAX_CLUSTERS``)."""
+    v = F.col(vec_col)
+    vn = _norm_col(v)
+    entries = []
+    for c in range(len(centroids)):
+        carr = F.array(*[F.lit(float(x)) for x in centroids[c]])
+        dot = F.aggregate(
+            F.zip_with(v, carr, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        # sequential fold (not np.sum's pairwise summation): the SQL
+        # oracle computes this norm via list_reduce, which folds left to
+        # right — the two must agree bitwise or probe ranks can flip
+        acc = 0.0
+        for x in centroids[c]:
+            acc += float(x) * float(x)
+        cn = math.sqrt(acc)
+        sim = dot / (vn * F.lit(cn))
+        entries.append(
+            F.struct((-sim).alias("ns"), F.lit(c).cast("long").alias("cluster"))
+        )
+    top = F.slice(F.array_sort(F.array(*entries)), 1, n_probe)
+    return df.select(
+        F.col(id_name),
+        F.posexplode(top).alias("probe_rank", "_e"),
+    ).select(
+        id_name,
+        F.col("_e.cluster").alias("cluster"),
+        F.col("probe_rank").cast("long").alias("probe_rank"),
+    )
+
+
+_EXPR_MAX_CLUSTERS = 64
+
+
+def _assign_clusters(df, id_name, vec_col, centroids, n_probe, assign="auto"):
+    if assign == "expr" or (assign == "auto" and len(centroids) <= _EXPR_MAX_CLUSTERS):
+        return _assign_clusters_expr(df, id_name, vec_col, centroids, n_probe)
+    return _assign_clusters_np(df, id_name, vec_col, centroids, n_probe)
+
+
 def ivf_ann(
     queries: DataFrame,
     base: DataFrame,
@@ -144,25 +194,38 @@ def ivf_ann(
     query_id: str = "qid",
     base_id: str = "bid",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     n_probe: int = 4,
     iters: int = 3,
+    assign: str = "auto",
 ) -> DataFrame:
     """IVF-style approximate cosine top-k — the classic inverted-file index
     built with plain DataFrame ops:
 
     1. spherical k-means coarse quantizer, fully deterministic: centroids
-       initialized from the ``n_clusters`` smallest base ids, Lloyd updates
-       via (assign with broadcast centroids → posexplode → groupBy(cluster,
-       component) avg), centroids collected each round (n_clusters×dim —
-       tiny driver state);
-    2. base vectors land in exactly one cluster (inverted lists);
+       initialized from the ``n_clusters`` smallest base ids (default
+       n_clusters ≈ √N — the standard IVF sizing, so list length and list
+       count grow together), Lloyd updates via a per-cluster
+       ``applyInPandas`` mean (ONE n_clusters-row collect per iteration —
+       n_clusters×dim driver state, no per-component rows);
+    2. base vectors land in exactly one cluster (inverted lists); the
+       training cache is released once the lists are defined (the final
+       plan re-reads the base from source instead of holding executor
+       memory);
     3. each query probes its ``n_probe`` nearest centroids (explode) and
        reranks EXACTLY inside the probed lists: equi-join on cluster id →
        cosine → per-query top-k window.  n_probe = n_clusters ⇒ exact.
+
+    ``iters=0`` skips Lloyd training (quantizer = the init vectors): fully
+    relational, used by the differential-oracle gate; training quality is
+    pinned by recall tests instead.
     """
     spark = queries.sparkSession
     b = base.select(F.col(base_id).alias("bid"), F.col(vec_col).alias("v")).persist()
+
+    if n_clusters is None:
+        n = b.count()
+        n_clusters = max(1, min(int(math.isqrt(max(n, 1))), 4096))
 
     # deterministic init: the n_clusters smallest base ids
     init = (
@@ -170,25 +233,34 @@ def ivf_ann(
     )
     centroids = np.stack(init["v"].to_numpy()).astype(np.float64)
 
+    def _mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {"cluster": [int(pdf["cluster"].iloc[0])], "m": [M.mean(axis=0).tolist()]}
+        )
+
     for _ in range(iters):
-        assigned = _assign_clusters(b, "bid", "v", centroids, n_probe=1)
+        assigned = _assign_clusters(b, "bid", "v", centroids, 1, assign)
         comp = (
             assigned.join(b, "bid")
-            .select("cluster", F.posexplode(F.col("v")).alias("idx", "x"))
-            .groupBy("cluster", "idx")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .select("cluster", "v")
+            .groupBy("cluster")
+            .applyInPandas(_mean_vec, "cluster long, m array<double>")
             .collect()
         )
         new_c = centroids.copy()
         for r in comp:
-            new_c[r["cluster"], r["idx"]] = r["m"]
+            new_c[r["cluster"]] = np.asarray(r["m"], dtype=np.float64)
         centroids = new_c
 
-    lists = _assign_clusters(b, "bid", "v", centroids, n_probe=1).join(b, "bid")
+    lists = _assign_clusters(b, "bid", "v", centroids, 1, assign).join(b, "bid")
     probes = _assign_clusters(
-        queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("q_v")).withColumnRenamed("q_v", "v"),
-        "qid", "v", centroids, n_probe=n_probe,
+        queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("v")),
+        "qid", "v", centroids, n_probe, assign,
     )
+    # training reuse is over: drop the cache, the remaining lazy plan
+    # re-reads the base from source when the caller finally acts
+    b.unpersist(blocking=False)
     qv = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("q_v"))
     dot = F.aggregate(
         F.zip_with(F.col("q_v"), F.col("v"), lambda a, bb: a.cast("double") * bb.cast("double")),
@@ -211,12 +283,18 @@ def ivf_ann(
     )
 
 
+def hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    """Deterministic random hyperplanes (n_bits, dim) — shared by the Spark
+    sketch and the SQL oracle (embedded as literals there)."""
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_bits, dim))
+
+
 def hyperplane_sketch(
     df: DataFrame, vec_col: str, dim: int, n_bits: int = 16, seed: int = 19031977
 ) -> DataFrame:
     """Append an n_bits sign sketch w.r.t. deterministic random hyperplanes."""
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_bits, dim))
+    planes = hyperplanes(dim, n_bits, seed)
     sk = None
     for b in range(n_bits):
         dot = F.aggregate(

@@ -71,6 +71,12 @@ def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # sf0.01-appropriate task granularity if the session default is 200
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # release intermediates persisted by a previous registry query (dedup
+    # signature tables, posting lists) — long-lived drivers run many
+    # queries through one session
+    from gstools_core_spark.operators.cache import clear_tracked
+
+    clear_tracked()
 
 
 def _docs_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,21 +640,151 @@ JOIN sizes sb ON sb.doc_id = b_id
 WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {NGRAM_TAU!r}"""
 
 
-# --- 19-20: minhash / simhash (rows-only: xxhash64 not in DuckDB) -------------
+NGRAM_MAX_DF = 25
+
+
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """Scale path of ngram_jaccard: shingles in more than max_df docs are
+    dropped from CANDIDATE GENERATION (kills quadratic hot keys at corpus
+    scale); jaccard is still exact on each candidate's full shingle sets."""
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=NGRAM_K, threshold=NGRAM_TAU, max_df=NGRAM_MAX_DF
+    )
+    return out.select("a_id", "b_id", F.round("jaccard", 9).alias("jaccard"))
+
+
+def _sql_ngram_jaccard_capped() -> str:
+    return f"""WITH {_sql_shingles(NGRAM_K)},
+post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+keep AS (SELECT s FROM post GROUP BY s HAVING count(*) <= {NGRAM_MAX_DF}),
+kept AS (SELECT doc_id, p.s FROM post p JOIN keep USING (s)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id,
+       round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / CAST(len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 9) AS jaccard
+FROM cands
+JOIN sh sa ON sa.doc_id = a_id
+JOIN sh sb ON sb.doc_id = b_id
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / CAST(len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) >= {NGRAM_TAU!r}"""
+
+
+# --- 19-20: minhash / simhash ---------------------------------------------------
+# Both use the PORTABLE md5-derived hash (functions/hashing.py) so DuckDB
+# computes bitwise-identical hash integers; the oracles are the NAIVE spec
+# (minhash: same banding in list algebra; simhash: brute-force all-pairs
+# popcount — the strongest check of the banding recall guarantee).
+
+MH_HASHES, MH_BANDS, MH_K, MH_TAU = 32, 8, 3, 0.5
+SIMHASH_MAX_HAMMING = 16
+
 
 def q_minhash_dedup(spark, sf_dir):
     _prep(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = DD.minhash_dedup(docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=8, shingle_k=3)
+    out = DD.minhash_dedup(
+        docs, "text", "doc_id",
+        threshold=MH_TAU, num_hashes=MH_HASHES, bands=MH_BANDS, shingle_k=MH_K,
+    )
     return out.select("doc_id", "lang", "n_chars")
+
+
+def _sql_shingles(k: int) -> str:
+    """doc_id → distinct word-k-shingles (mirrors dedup.shingles_col)."""
+    return f"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= {k}
+           THEN list_transform(range(1, len(t) - {k} + 2),
+                               i -> array_to_string(t[i:i+{k - 1}], ' '))
+           ELSE [array_to_string(t, ' ')] END) AS shingles
+  FROM toks
+)"""
+
+
+def _sql_minhash_dedup() -> str:
+    from gstools_core_spark.functions.hashing import sql_portable_hash
+
+    p = DD._MH_PRIME
+    rpb = MH_HASHES // MH_BANDS
+    sig_terms = ", ".join(
+        f"list_min(list_transform(hh, h -> (h * {2 * i + 1} + {7 * i + 3}) % {p}))"
+        for i in range(MH_HASHES)
+    )
+    return f"""WITH {_sql_shingles(MH_K)},
+hs AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {sql_portable_hash('s')} % {p}) AS hh
+  FROM sh
+),
+sigs AS (SELECT doc_id, shingles, [{sig_terms}] AS sig FROM hs),
+bands AS (
+  SELECT doc_id, bb.band,
+         array_to_string(sig[{rpb}*bb.band+1 : {rpb}*bb.band+{rpb}], ',') AS key
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, {MH_BANDS})) AS band) bb
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+dups AS (
+  SELECT DISTINCT c.b_id AS doc_id
+  FROM cands c
+  JOIN sigs sa ON sa.doc_id = c.a_id
+  JOIN sigs sb ON sb.doc_id = c.b_id
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / CAST(len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) >= {MH_TAU!r}
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d LEFT JOIN dups u ON d.doc_id = u.doc_id
+WHERE u.doc_id IS NULL"""
 
 
 def q_simhash_neardup(spark, sf_dir):
     _prep(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     hashed = DD.simhash64(docs, "text")
-    out = DD.simhash_near_dups(hashed, "doc_id", max_hamming=16)
+    out = DD.simhash_near_dups(hashed, "doc_id", max_hamming=SIMHASH_MAX_HAMMING)
     return out.select("a_id", "b_id", "hamming")
+
+
+def _sql_simhash_neardup() -> str:
+    """Brute-force all-pairs spec: simhash64 per doc (bits 0..59 from h1,
+    60..63 from h2, exactly as dedup.simhash64), popcount(xor) ≤ max.  Bit 63
+    can't be built with << 63 in DuckDB (overflow error) — OR in the sign
+    bit as the BIGINT min literal instead."""
+    from gstools_core_spark.functions.hashing import sql_portable_hash, sql_portable_hash2
+
+    sums = ", ".join(
+        f"sum((({'h1' if k < 60 else 'h2'} >> {k if k < 60 else k - 60}) & 1) * 2 - 1) AS s{k}"
+        for k in range(64)
+    )
+    bits = " | ".join(
+        f"(CASE WHEN s{k} > 0 THEN (CAST(1 AS BIGINT) << {k}) ELSE CAST(0 AS BIGINT) END)"
+        for k in range(63)
+    )
+    bit63 = "(CASE WHEN s63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+th AS (
+  SELECT doc_id, {sql_portable_hash('t')} AS h1, {sql_portable_hash2('t')} AS h2
+  FROM toks
+),
+bs AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+simh AS (SELECT doc_id, {bits} | {bit63} AS sim FROM bs)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {SIMHASH_MAX_HAMMING}"""
 
 
 # --- 21-23: text analysis -----------------------------------------------------
@@ -786,23 +922,143 @@ FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id
 WHERE dot / (na.nrm * nb.nrm) >= {NEARDUP_TAU!r}"""
 
 
+IVF_CLUSTERS, IVF_PROBE, IVF_K = 16, 4, 3
+LSH_BITS, LSH_TABLES, LSH_K, LSH_SEED, EMB_DIM = 12, 4, 3, 19031977, 64
+
+# sequential-fold helpers: every dot/norm on BOTH engines is a left-to-right
+# fold (Spark F.aggregate ≡ DuckDB list_reduce), so the doubles — and hence
+# window ranks and >= threshold cuts — are bitwise identical
+_SQL_FOLD = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), (acc, x) -> acc + x)"
+
+
+def _sql_dot(a: str, b: str, dim: int) -> str:
+    return _SQL_FOLD.format(terms=f"list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i])")
+
+
+def _sql_norm(v: str) -> str:
+    return "sqrt(" + _SQL_FOLD.format(terms=f"list_transform({v}, x -> x * x)") + ")"
+
+
 def q_ivf_ann(spark, sf_dir):
+    """Gate config: iters=0 (quantizer = init vectors — fully relational,
+    so DuckDB can replay it); Lloyd-trained quality is pinned by pytest
+    recall tests instead (tests/test_similarity.py)."""
     _prep(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") % 50 == 0)
     out = SIM.ivf_ann(
-        q, emb, k=3, query_id="vec_id", base_id="vec_id",
-        n_clusters=16, n_probe=4, iters=2,
+        q, emb, k=IVF_K, query_id="vec_id", base_id="vec_id",
+        n_clusters=IVF_CLUSTERS, n_probe=IVF_PROBE, iters=0, assign="expr",
     )
-    return out.select("qid", "bid", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    return out.select(
+        "qid", "bid", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_ivf_ann() -> str:
+    sim = f"{_sql_dot('v', 'c', EMB_DIM)} / (vnorm * cnorm)"
+    return f"""WITH base AS (
+  SELECT vec_id AS bid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY bid) - 1 AS cluster, v AS c
+  FROM (SELECT bid, v FROM base ORDER BY bid LIMIT {IVF_CLUSTERS})
+),
+cn AS (SELECT cluster, c, {_sql_norm('c')} AS cnorm FROM cents),
+vn AS (SELECT bid, v, {_sql_norm('v')} AS vnorm FROM base),
+asgn AS (
+  SELECT bid, cluster FROM (
+    SELECT bid, cluster,
+           row_number() OVER (PARTITION BY bid ORDER BY {sim} DESC, cluster ASC) AS pr
+    FROM vn CROSS JOIN cn
+  ) WHERE pr = 1
+),
+probes AS (
+  SELECT bid AS qid, cluster FROM (
+    SELECT bid, cluster,
+           row_number() OVER (PARTITION BY bid ORDER BY {sim} DESC, cluster ASC) AS pr
+    FROM vn CROSS JOIN cn WHERE bid % 50 = 0
+  ) WHERE pr <= {IVF_PROBE}
+),
+scored AS (
+  SELECT DISTINCT p.qid, a.bid,
+         {_sql_dot('q.v', 't.v', EMB_DIM)} / (q.vnorm * t.vnorm) AS cos_sim
+  FROM probes p
+  JOIN asgn a ON a.cluster = p.cluster
+  JOIN vn q ON q.bid = p.qid
+  JOIN vn t ON t.bid = a.bid
+  WHERE p.qid != a.bid
+)
+SELECT qid, bid, round(cos_sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT qid, bid, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, bid ASC) AS rank
+      FROM scored)
+WHERE rank <= {IVF_K}"""
 
 
 def q_lsh_ann(spark, sf_dir):
     _prep(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") % 50 == 0)
-    out = SIM.lsh_ann(q, emb, k=3, dim=64, query_id="vec_id", base_id="vec_id", n_bits=12)
-    return out.select("qid", "bid", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    out = SIM.lsh_ann(
+        q, emb, k=LSH_K, dim=EMB_DIM, query_id="vec_id", base_id="vec_id",
+        n_bits=LSH_BITS, n_tables=LSH_TABLES,
+    )
+    return out.select(
+        "qid", "bid", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_lsh_ann() -> str:
+    """Hyperplanes are deterministic (seeded) — embed them as string-parsed
+    double lists (CAST from VARCHAR ⇒ exact nearest-double, no DECIMAL
+    intermediate) so DuckDB sketches every vector with the same planes."""
+    rows = []
+    for t in range(LSH_TABLES):
+        planes = SIM.hyperplanes(EMB_DIM, LSH_BITS, seed=LSH_SEED + t)
+        for b in range(LSH_BITS):
+            coefs = ",".join(repr(float(x)) for x in planes[b])
+            rows.append(f"({t}, {b}, '{coefs}')")
+    plane_values = ", ".join(rows)
+    dot_vp = _SQL_FOLD.format(terms="list_transform(range(1, 65), i -> v[i] * coef[i])")
+    return f"""WITH planes_raw(table_id, bit, coefs) AS (VALUES {plane_values}),
+planes AS (
+  SELECT table_id, bit,
+         list_transform(string_split(coefs, ','), s -> CAST(s AS DOUBLE)) AS coef
+  FROM planes_raw
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sk AS (
+  SELECT e.vec_id, p.table_id,
+         sum(CASE WHEN {dot_vp} >= 0
+                  THEN (CAST(1 AS BIGINT) << p.bit) ELSE CAST(0 AS BIGINT) END) AS sketch
+  FROM e CROSS JOIN planes p
+  GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT q.vec_id AS qid, b.vec_id AS bid
+  FROM sk q JOIN sk b ON q.table_id = b.table_id AND q.sketch = b.sketch
+  WHERE q.vec_id % 50 = 0 AND q.vec_id != b.vec_id
+),
+norms AS (SELECT vec_id, v, {_sql_norm('v')} AS nrm FROM e),
+scored AS (
+  SELECT c.qid, c.bid,
+         {_sql_dot('nq.v', 'nb.v', EMB_DIM)} / (nq.nrm * nb.nrm) AS cos_sim
+  FROM cands c
+  JOIN norms nq ON nq.vec_id = c.qid
+  JOIN norms nb ON nb.vec_id = c.bid
+)
+SELECT qid, bid, round(cos_sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT qid, bid, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, bid ASC) AS rank
+      FROM scored)
+WHERE rank <= {LSH_K}"""
 
 
 # --- 26-28: relational / temporal ---------------------------------------------
@@ -1044,15 +1300,16 @@ def registry() -> dict[str, tuple]:
         "summate_incompr": (q_summate_incompr, _sql_summate("incompr")),
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
-        "minhash_dedup": (q_minhash_dedup, None),
-        "simhash_neardup": (q_simhash_neardup, None),
+        "ngram_jaccard_capped": (q_ngram_jaccard_capped, _sql_ngram_jaccard_capped()),
+        "minhash_dedup": (q_minhash_dedup, _sql_minhash_dedup()),
+        "simhash_neardup": (q_simhash_neardup, _sql_simhash_neardup()),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
         "lang_id": (q_lang_id, _sql_lang_id()),
         "quality_score": (q_quality_score, _sql_quality_score()),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
         "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
-        "lsh_ann": (q_lsh_ann, None),
-        "ivf_ann": (q_ivf_ann, None),
+        "lsh_ann": (q_lsh_ann, _sql_lsh_ann()),
+        "ivf_ann": (q_ivf_ann, _sql_ivf_ann()),
         "events_stats": (q_events_stats, SQL_EVENTS_STATS),
         "events_windowed": (q_events_windowed, SQL_EVENTS_WINDOWED),
         "seg_order_stats": (q_seg_order_stats, SQL_SEG_ORDER_STATS),

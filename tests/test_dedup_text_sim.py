@@ -153,3 +153,97 @@ def test_lsh_ann_finds_identical_vector(spark):
     q = _emb_df(spark, qv, id0=1000)
     out = SIM.lsh_ann(q, base, k=1, dim=16, query_id="vec_id", base_id="vec_id").collect()
     assert out and out[0]["bid"] == 7 and abs(out[0]["cos_sim"] - 1.0) < 1e-9
+
+
+def test_simhash_pigeonhole_spread_mismatches(spark):
+    """Round-1 regression: a hamming-16 pair whose mismatches hit all 4 of
+    the legacy 16-bit bands (4 per band) — legacy banding found zero agreeing
+    bands and silently missed it; n_bands = max_hamming + 1 must find it."""
+    bits = [0, 4, 8, 12, 16, 20, 24, 28, 32, 36, 40, 44, 48, 52, 56, 60]
+    sim_b = 0
+    for k in bits:
+        sim_b |= 1 << k
+    df = spark.createDataFrame([(0, 0), (1, sim_b)], "doc_id long, simhash long")
+    out = DD.simhash_near_dups(df, "doc_id", max_hamming=16).collect()
+    assert len(out) == 1 and out[0]["hamming"] == 16
+
+    # the legacy configuration is now a hard error, not silent recall loss
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DD.simhash_near_dups(df, "doc_id", max_hamming=16, n_bands=4)
+
+
+def test_simhash_sign_bit_pair(spark):
+    """Pairs differing in bit 63 (the sign bit) still verify correctly."""
+    df = spark.createDataFrame(
+        [(0, 0), (1, -9223372036854775808)], "doc_id long, simhash long"
+    )
+    out = DD.simhash_near_dups(df, "doc_id", max_hamming=3).collect()
+    assert len(out) == 1 and out[0]["hamming"] == 1
+
+
+def test_ngram_jaccard_max_df_caps_hot_shingle(spark):
+    """One stop-shingle shared by many docs: with max_df it no longer
+    generates candidates (the quadratic hot key), while genuinely similar
+    pairs are still found with their EXACT jaccard."""
+    rows = [(i, f"zzz yyy xxx u{i} v{i} w{i}") for i in range(8)]
+    rows += [(100, "aaa bbb ccc ddd"), (101, "aaa bbb ccc ddd")]
+    df = _docs(spark, rows)
+
+    uncapped = DD.ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.1)
+    assert uncapped.count() == 8 * 7 // 2 + 1  # hot-shingle pairs + the dup
+
+    capped = DD.ngram_jaccard_pairs(
+        df, "text", "doc_id", k=3, threshold=0.1, max_df=3
+    ).collect()
+    assert {(r["a_id"], r["b_id"]) for r in capped} == {(100, 101)}
+    assert capped[0]["jaccard"] == 1.0  # exact jaccard, full shingle sets
+
+
+def test_ivf_ann_recall_at_scale(spark):
+    """10^4 base vectors, default n_clusters ≈ √N, Lloyd-trained quantizer:
+    recall ≥ 0.9 against brute-force ground truth (VERDICT r1 #8)."""
+    rng = np.random.default_rng(77)
+    n, d, n_centers = 10_000, 32, 100
+    centers = rng.normal(size=(n_centers, d))
+    assign = rng.integers(0, n_centers, size=n)
+    base_v = centers[assign] + 0.1 * rng.normal(size=(n, d))
+    base = _emb_df(spark, base_v)
+    q_idx = rng.choice(n, size=20, replace=False)
+    queries = _emb_df(spark, base_v[q_idx], id0=100_000)
+
+    k = 10
+    out = SIM.ivf_ann(
+        queries, base, k=k, query_id="vec_id", base_id="vec_id",
+        n_probe=8, iters=2,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], set()).add(r["bid"])
+
+    B = base_v / np.linalg.norm(base_v, axis=1, keepdims=True)
+    hits = total = 0
+    for qi, qrow in zip(q_idx, range(len(q_idx))):
+        sims = B @ B[qi]
+        sims[qi] = -np.inf  # qid (100000+i) never equals bid, but the true
+        # top-k from brute force must also skip the identical vector? No —
+        # ids differ, so the identical base vector IS a legitimate neighbor.
+        sims[qi] = (B[qi] @ B[qi])
+        top = set(np.argsort(-sims, kind="stable")[:k].tolist())
+        hits += len(top & got.get(100_000 + qrow, set()))
+        total += k
+    assert total == 200
+    assert hits / total >= 0.9, hits / total
+
+
+def test_clear_tracked_releases_caches(spark):
+    from gstools_core_spark.operators.cache import clear_tracked
+
+    df = _docs(spark, [(0, BASE), (1, NEAR), (2, OTHER)])
+    DD.minhash_dedup(df, "text", "doc_id", num_hashes=16, bands=4, shingle_k=3).count()
+    DD.ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.3).count()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert not cm.isEmpty()
+    assert clear_tracked() >= 2
+    assert cm.isEmpty()
