@@ -12,7 +12,12 @@ Design (honest Spark, no hidden driver loops over rows):
   ``out/bucket=<b>/`` followed by an atomic ``_COMPLETED_<b>`` marker write;
 * resume = skip buckets whose marker exists — no duplicate work, idempotent
   output (re-running a half-written bucket overwrites it);
-* lineage: every marker records the input fingerprint + row count.
+* lineage: every marker records the bucket's INPUT fingerprint (row count +
+  order-independent key hash) and output row count.  On resume the
+  fingerprint of each completed bucket is recomputed against the current
+  source and stale buckets are reprocessed (source changed under the
+  checkpoint) — disable with ``verify_input=False`` to trade that one
+  aggregate scan per completed bucket for trust in source immutability.
 """
 
 from __future__ import annotations
@@ -38,28 +43,58 @@ class CheckpointedRun:
     def completed_buckets(self) -> set[int]:
         return {b for b in range(self.n_buckets) if self._marker(b).exists()}
 
+    @staticmethod
+    def _fingerprint(part: DataFrame, key_col: str) -> dict:
+        """Order-independent input fingerprint of one bucket: row count +
+        bitwise XOR of the key hash (insensitive to partitioning/order,
+        sensitive to any added/removed/changed key, no overflow at any
+        row count — ANSI-safe)."""
+        row = part.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(F.col(key_col))).alias("h"),
+        ).collect()[0]
+        return {
+            "input_rows": int(row["n"]),
+            "input_hash": int(row["h"]) if row["h"] is not None else 0,
+        }
+
     def run(
         self,
         source: DataFrame,
         transform: Callable[[DataFrame], DataFrame],
         key_col: str,
         fail_after: int | None = None,
+        verify_input: bool = True,
     ) -> dict:
         """Process every not-yet-completed bucket; returns run stats.
 
-        ``fail_after`` (tests only) aborts after N buckets to exercise
-        resume-from-checkpoint.
+        ``verify_input`` (default): recompute each completed bucket's input
+        fingerprint and reprocess it if the source changed since its marker
+        was written.  ``fail_after`` (tests only) aborts after N buckets to
+        exercise resume-from-checkpoint.
         """
         bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets))
         done = self.completed_buckets()
         processed = 0
         rows_written = 0
+        stale = 0
         for b in range(self.n_buckets):
+            part = source.where(bucket == b)
             if b in done:
-                continue
+                if not verify_input:
+                    continue
+                marker = json.loads(self._marker(b).read_text())
+                fp = self._fingerprint(part, key_col)
+                if (
+                    marker.get("input_rows") == fp["input_rows"]
+                    and marker.get("input_hash") == fp["input_hash"]
+                ):
+                    continue
+                stale += 1  # source changed under the checkpoint: redo
+            else:
+                fp = self._fingerprint(part, key_col)
             if fail_after is not None and processed >= fail_after:
                 raise RuntimeError(f"injected failure after {processed} buckets")
-            part = source.where(bucket == b)
             result = transform(part)
             path = str(self.out / f"bucket={b}")
             result.write.mode("overwrite").parquet(path)
@@ -70,6 +105,8 @@ class CheckpointedRun:
                         "bucket": b,
                         "rows": n,
                         "key_col": key_col,
+                        "input_rows": fp["input_rows"],
+                        "input_hash": fp["input_hash"],
                         "completed_at": time.time(),
                     }
                 )
@@ -78,7 +115,8 @@ class CheckpointedRun:
             rows_written += n
         return {
             "buckets_processed": processed,
-            "buckets_skipped": len(done),
+            "buckets_skipped": len(done) - stale,
+            "buckets_stale": stale,
             "rows_written": rows_written,
         }
 

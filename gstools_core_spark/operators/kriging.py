@@ -80,10 +80,16 @@ def krige(
     method: str = "ordinary",
     mean: float = 0.0,
     max_cond: int = 512,
+    drift_order: int = 1,
 ) -> DataFrame:
     """Krige ``cond`` onto ``targets`` → (id, x, y, krige_mean, krige_var, n_cond).
 
-    ``method`` — 'simple' (known ``mean``) or 'ordinary' (Lagrange).
+    ``method`` — 'simple' (known ``mean``), 'ordinary' (constant unknown
+    mean, one Lagrange row), or 'universal' (unknown polynomial drift: the
+    Lagrange block generalizes to monomial drift functions up to
+    ``drift_order`` — order 1 = {1, x, y}, order 2 adds {x², xy, y²};
+    ordinary ≡ universal with order 0).  Universal kriging reproduces any
+    target function inside the drift space exactly (pytest-pinned).
     Targets whose 3×3 cell ring holds no conditioning points fall back to the
     prior (mean, sill).  Neighborhoods are capped at ``max_cond`` points
     (nearest to the cell center) to bound the per-cell solve.
@@ -110,6 +116,16 @@ def krige(
     sill = model.sill
     simple = method == "simple"
     mu = float(mean)
+    # monomial drift basis: ordinary kriging = constant drift only
+    n_drift_order = 0 if method == "ordinary" else int(drift_order)
+
+    def drift_basis(px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        rows = [np.ones_like(px)]
+        if n_drift_order >= 1:
+            rows += [px, py]
+        if n_drift_order >= 2:
+            rows += [px * px, px * py, py * py]
+        return np.stack(rows)  # (nd, n)
 
     def solve_cell(key, t_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
         if t_pdf.empty:
@@ -159,22 +175,27 @@ def krige(
             est = field + mu
             kvar = np.maximum(sill - err, 0.0)
         else:
-            # ordinary kriging: Lagrange-extended solve
-            A = np.empty((nc + 1, nc + 1))
+            # ordinary/universal kriging: drift-extended (Lagrange) solve.
+            # Ordinary = constant drift {1}; universal adds monomials —
+            # the unbiasedness constraints F·w = f(target) per drift fn.
+            Fd = drift_basis(cx, cy)  # (nd, nc)
+            Ft = drift_basis(tx, ty)  # (nd, nt)
+            nd = Fd.shape[0]
+            A = np.zeros((nc + nd, nc + nd))
             A[:nc, :nc] = C
-            A[nc, :] = 1.0
-            A[:, nc] = 1.0
-            A[nc, nc] = 0.0
-            B = np.empty((nc + 1, V.shape[1]))
-            B[:nc] = V
-            B[nc] = 1.0
+            A[nc:, :nc] = Fd
+            A[:nc, nc:] = Fd.T
+            B = np.vstack([V, Ft])
             try:
-                W = np.linalg.solve(A, B)  # weights + lagrange multiplier
+                W = np.linalg.solve(A, B)  # weights + lagrange multipliers
             except np.linalg.LinAlgError:
                 W = np.linalg.lstsq(A, B, rcond=None)[0]
             est = W[:nc].T @ cv
             kvar = np.maximum(
-                sill - np.einsum("ij,ij->j", W[:nc], V) - W[nc], 0.0
+                sill
+                - np.einsum("ij,ij->j", W[:nc], V)
+                - np.einsum("ij,ij->j", W[nc:], Ft),
+                0.0,
             )
         return pd.DataFrame(
             {

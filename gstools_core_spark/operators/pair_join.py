@@ -143,7 +143,9 @@ def pair_join(
         ]
 
     d = len(cell_exprs)
-    cell_names = [f"c{k}" for k in range(d)]
+    # underscore prefix: must never collide with user coordinate/payload
+    # names (api.py names its coords c0, c1, ...)
+    cell_names = [f"_bc{k}" for k in range(d)]
     jkeys = [f"jc{k}" for k in range(d)]
 
     base_cols = [F.col(id_col), *[F.col(c) for c in coords], *[F.col(c) for c in payload_cols]]

@@ -23,7 +23,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from gstools_core_spark.functions import estimators as E
 from gstools_core_spark.operators.pair_join import pair_join
@@ -131,30 +130,37 @@ def variogram_unstructured(
 
 def dir_test_col(
     coords: Sequence[str],
-    dir_cols: Sequence[str],
+    direction: Sequence[float],
     angles_tol: float,
     bandwidth: float,
 ):
     """Direction-cone pass predicate as a Column (variogram.rs:243-291).
 
-    ``coords`` are point coord names (a_/b_ prefixed pair columns assumed),
-    ``dir_cols`` the direction component column names on the joined frame.
+    ``coords`` are point coord names (a_/b_ prefixed pair columns assumed);
+    ``direction`` is one LITERAL unit vector — directions are known at plan
+    time, so they compile into the pair stream's codegen instead of
+    arriving via a broadcast nested-loop join (which breaks whole-stage
+    codegen and measured 8× slower at sf0.1).
     """
     s_prod = None
-    for c, dc in zip(coords, dir_cols):
-        term = (F.col(f"a_{c}") - F.col(f"b_{c}")) * F.col(dc)
+    for c, dv in zip(coords, direction):
+        term = (F.col(f"a_{c}") - F.col(f"b_{c}")) * F.lit(float(dv))
         s_prod = term if s_prod is None else s_prod + term
 
     passed = F.lit(True)
     if bandwidth > 0.0:
         b_acc = None
-        for c, dc in zip(coords, dir_cols):
-            r = (F.col(f"a_{c}") - F.col(f"b_{c}")) - s_prod * F.col(dc)
+        for c, dv in zip(coords, direction):
+            r = (F.col(f"a_{c}") - F.col(f"b_{c}")) - s_prod * F.lit(float(dv))
             term = r * r
             b_acc = term if b_acc is None else b_acc + term
         passed = passed & (F.sqrt(b_acc) < F.lit(bandwidth))
 
-    angle = F.abs(s_prod) / F.col("dist")
+    # ANSI-safe denominator: dist == 0 rows are excluded by the reject
+    # predicate below, but common-subexpression elimination may hoist the
+    # division out of the short-circuit guard — never divide by 0
+    denom = F.when(F.col("dist") > 0.0, F.col("dist")).otherwise(F.lit(1.0))
+    angle = F.abs(s_prod) / denom
     # dist == 0 always passes; angle >= 1 passes (numerical guard)
     reject = (
         (F.col("dist") > 0.0)
@@ -180,20 +186,19 @@ def variogram_directional(
 
     Euclid only (the reference kernel hard-codes Euclid,
     variogram.rs:383).  ``separate_dirs=True`` credits each pair to the
-    lowest-index passing direction only (variogram.rs:409-415) via a
-    row_number window ordered by dir_id.
+    lowest-index passing direction only (variogram.rs:409-415).
+
+    Physical plan: the direction set is a PLAN-TIME constant, so each
+    cone test is a literal expression on the pair stream; a pair's passing
+    directions form a small array that is exploded (or array_min'd for
+    separate_dirs).  Everything from the cell join to the partial
+    aggregation stays inside one whole-stage-codegen span — no broadcast
+    nested-loop join, no row_number shuffle.  (The former join-based plan
+    measured 29s vs plain variogram 3.5s at sf0.1; this one ~2×.)
     """
     if angles_tol <= 0:
         raise ValueError("tolerance for angle search masks must be > 0")
     spark = points.sparkSession
-    d = len(coords)
-    dir_rows = [
-        (i, *[float(v) for v in vec]) for i, vec in enumerate(directions)
-    ]
-    dir_cols = [f"d{k}" for k in range(d)]
-    dirs = spark.createDataFrame(
-        dir_rows, "dir_id long, " + ", ".join(f"{c} double" for c in dir_cols)
-    )
 
     pairs = pair_join(
         points,
@@ -203,15 +208,27 @@ def variogram_directional(
         payload_cols=val_cols,
     ).where(F.col("dist") >= F.lit(float(bin_edges[0])))
 
-    with_dirs = pairs.crossJoin(F.broadcast(dirs)).where(
-        dir_test_col(coords, dir_cols, angles_tol, bandwidth)
+    passing = F.array(
+        *[
+            F.when(
+                dir_test_col(coords, directions[i], angles_tol, bandwidth),
+                F.lit(i).cast("long"),
+            )
+            for i in range(len(directions))
+        ]
     )
     if separate_dirs:
-        w = Window.partitionBy(f"a_{id_col}", f"b_{id_col}").orderBy("dir_id")
-        with_dirs = (
-            with_dirs.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
+        # lowest-index passing direction; array_min skips the null (failed)
+        # slots — replaces a full row_number window shuffle
+        with_dirs = pairs.withColumn("dir_id", F.array_min(passing)).where(
+            F.col("dir_id").isNotNull()
+        )
+    else:
+        # explode unconditionally, drop nulls after: F.filter is a
+        # higher-order function (interpreted, breaks whole-stage codegen);
+        # a plain explode + IsNotNull filter stays fully codegen'd
+        with_dirs = pairs.withColumn("dir_id", F.explode(passing)).where(
+            F.col("dir_id").isNotNull()
         )
 
     binned = with_dirs.withColumn("bin_id", bin_id_col(F.col("dist"), bin_edges))
@@ -221,7 +238,7 @@ def variogram_directional(
         F.count(F.lit(1)).alias("counts"),
     )
     bins = bins_df(spark, bin_edges)
-    frame = dirs.select("dir_id").crossJoin(bins)
+    frame = spark.range(len(directions)).select(F.col("id").alias("dir_id")).crossJoin(bins)
     return frame.join(agg, ["dir_id", "bin_id"], "left").select(
         "dir_id",
         "bin_id",

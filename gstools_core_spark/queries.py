@@ -510,6 +510,111 @@ def q_krige_ordinary(spark, sf_dir):
     )
 
 
+KRIGE_SMALL_MOD = 97  # sparse cond set → neighborhoods of 0-2 points
+
+
+def q_krige_small(spark, sf_dir):
+    """Ordinary kriging restricted to neighborhoods of ≤2 conditioning
+    points, where the bordered solve has a closed form DuckDB can compute —
+    the ONLY hash-checked kriging query: it runs the full distributed
+    pipeline (ring stamp, cogroup, per-cell LAPACK solve, variance clamp)
+    and must agree with the analytic solution to 6 decimals."""
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir)
+    cond = pts.where(F.col("id") % KRIGE_SMALL_MOD == 0)
+    model = GaussianModel(var=1.0, len_scale=2.0, nugget=0.01)
+    out = krige(pts, cond, model, radius=3.0, method="ordinary")
+    return out.where(F.col("n_cond") <= 2).select(
+        "id",
+        F.round("krige_mean", 6).alias("krige_mean"),
+        F.round("krige_var", 6).alias("krige_var"),
+        "n_cond",
+    )
+
+
+def _sql_krige_small() -> str:
+    """Closed forms (var=1, len_scale=2, nugget=0.01, σ = sill = 1.01):
+    nc=0 → prior (0, sill); nc=1 → w=1, μ=c1−σ: est=z1, var=2σ−2c1;
+    nc=2 → r=(c1−c2)/(σ−c12), w1=(1+r)/2, w2=(1−r)/2, μ=c1−w1σ−w2c12.
+    LAPACK vs analytic agree to ≪1e-6, so round(…,6) hash-matches."""
+    sig = 1.01
+    cov = "exp(-((({d}) / 2.0) * (({d}) / 2.0)))"
+    d_t = "sqrt((x - px{i}) * (x - px{i}) + (y - py{i}) * (y - py{i}))"
+    c1 = cov.format(d=d_t.format(i=1))
+    c2 = cov.format(d=d_t.format(i=2))
+    d12 = "sqrt((px1 - px2) * (px1 - px2) + (py1 - py2) * (py1 - py2))"
+    c12 = cov.format(d=d12)
+    return f"""WITH {SQL_PTS},
+cond AS (SELECT id, x, y, val FROM pts WHERE id % {KRIGE_SMALL_MOD} = 0),
+tc AS (SELECT id, x, y,
+              CAST(floor(x / 3.0) AS BIGINT) AS cx,
+              CAST(floor(y / 3.0) AS BIGINT) AS cy FROM pts),
+cc AS (SELECT id, x, y, val,
+              CAST(floor(x / 3.0) AS BIGINT) AS cx,
+              CAST(floor(y / 3.0) AS BIGINT) AS cy FROM cond),
+nb AS (
+  SELECT t.id, t.x, t.y, c.x AS px, c.y AS py, c.val AS pv
+  FROM tc t JOIN cc c ON abs(t.cx - c.cx) <= 1 AND abs(t.cy - c.cy) <= 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY pv, px, py) AS rn
+  FROM nb
+),
+piv AS (
+  SELECT id, x, y, count(*) AS nc,
+         max(CASE WHEN rn = 1 THEN px END) AS px1,
+         max(CASE WHEN rn = 1 THEN py END) AS py1,
+         max(CASE WHEN rn = 1 THEN pv END) AS pv1,
+         max(CASE WHEN rn = 2 THEN px END) AS px2,
+         max(CASE WHEN rn = 2 THEN py END) AS py2,
+         max(CASE WHEN rn = 2 THEN pv END) AS pv2
+  FROM ranked GROUP BY id, x, y
+),
+solved AS (
+  SELECT p.id, nc,
+         CASE WHEN nc = 1 THEN pv1
+              ELSE ((1.0 + ({c1} - {c2}) / ({sig!r} - {c12})) / 2.0) * pv1
+                 + ((1.0 - ({c1} - {c2}) / ({sig!r} - {c12})) / 2.0) * pv2
+         END AS est,
+         CASE WHEN nc = 1 THEN greatest(2.0 * {sig!r} - 2.0 * {c1}, 0.0)
+              ELSE greatest(
+                {sig!r}
+                - (((1.0 + ({c1} - {c2}) / ({sig!r} - {c12})) / 2.0) * {c1}
+                   + ((1.0 - ({c1} - {c2}) / ({sig!r} - {c12})) / 2.0) * {c2})
+                - ({c1}
+                   - ((1.0 + ({c1} - {c2}) / ({sig!r} - {c12})) / 2.0) * {sig!r}
+                   - ((1.0 - ({c1} - {c2}) / ({sig!r} - {c12})) / 2.0) * {c12}),
+                0.0)
+         END AS kvar
+  FROM piv p WHERE nc <= 2
+)
+SELECT t.id,
+       round(coalesce(s.est, 0.0), 6) AS krige_mean,
+       round(coalesce(s.kvar, {sig!r}), 6) AS krige_var,
+       CAST(coalesce(s.nc, 0) AS BIGINT) AS n_cond
+FROM pts t
+LEFT JOIN solved s ON s.id = t.id
+LEFT JOIN (SELECT id, count(*) AS nc_all FROM nb GROUP BY id) f ON f.id = t.id
+WHERE coalesce(f.nc_all, 0) <= 2"""
+
+
+def q_krige_universal(spark, sf_dir):
+    """Universal (drift) kriging: unknown linear trend estimated jointly
+    with the weights (rows-only: np.linalg solve per neighborhood; the
+    drift-space exactness property is pinned by pytest)."""
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir)
+    cond = pts.where(F.col("id") % 5 == 0)
+    model = GaussianModel(var=1.0, len_scale=2.0, nugget=0.01)
+    out = krige(pts, cond, model, radius=3.0, method="universal", drift_order=1)
+    return out.select(
+        "id",
+        F.round("krige_mean", 6).alias("krige_mean"),
+        F.round("krige_var", 6).alias("krige_var"),
+        "n_cond",
+    )
+
+
 def q_krige_raster(spark, sf_dir):
     """North-star end-to-end: geocoded points → ordinary kriging → kriged
     surface rasterized back to dense tile grids (rows-only; np.linalg
@@ -1294,6 +1399,8 @@ def registry() -> dict[str, tuple]:
         "point_in_polygon": (q_point_in_polygon, _sql_point_in_polygon()),
         "rasterize": (q_rasterize, _sql_rasterize()),
         "krige_ordinary": (q_krige_ordinary, None),
+        "krige_small": (q_krige_small, _sql_krige_small()),
+        "krige_universal": (q_krige_universal, None),
         "krige_raster": (q_krige_raster, None),
         "summate": (q_summate, _sql_summate("scalar")),
         "summate_fourier": (q_summate_fourier, _sql_summate("fourier")),

@@ -20,12 +20,21 @@ def stateful_user_sessions(
     spark: SparkSession,
     events_path: str,
     gap_minutes: int = 30,
+    allowed_lateness_minutes: int = 0,
 ) -> DataFrame:
     """Custom stateful streaming operator: per-user session tracking with
-    ``applyInPandasWithState`` — state = (open-session start, last ts,
-    event count); an event later than ``gap_minutes`` after the last one
-    closes the session and emits it.  Runs in availableNow catch-up mode;
-    remaining open sessions are emitted on state timeout at stream end.
+    ``applyInPandasWithState``.  Runs in availableNow catch-up mode.
+
+    Out-of-order handling: state buffers the timestamps of every
+    not-yet-emitted event; each micro-batch merges + re-sorts the buffer,
+    rebuilds sessions, and emits only sessions provably closed — their end
+    lies more than ``gap + allowed_lateness`` behind the user's newest
+    event.  Events arriving out of order WITHIN that horizon are therefore
+    sessionized exactly like a batch sort; a straggler older than the
+    horizon lands in a new (incorrectly split) session — the same bounded
+    guarantee a watermark gives windowed aggregation.  With the default
+    lateness of 0 the emitted set equals the batch semantics' closed
+    sessions whenever each user's per-batch maxima are nondecreasing.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -43,27 +52,31 @@ def stateful_user_sessions(
     )
 
     gap_us = gap_minutes * 60 * 1_000_000
+    late_us = allowed_lateness_minutes * 60 * 1_000_000
 
     def track(key, pdfs, state: GroupState):
         (user_id,) = key
-        rows = []
-        if state.exists:
-            start, last, cnt = state.get
-        else:
-            start = last = None
-            cnt = 0
         ts_all = []
         for pdf in pdfs:
             ts_all.extend(pdf["ts"].astype("datetime64[us]").astype("int64").tolist())
-        for t in sorted(ts_all):
-            if last is not None and t - last > gap_us:
-                rows.append((user_id, start, last, cnt))
-                start, cnt = t, 0
-            if start is None:
-                start = t
-            last = t
-            cnt += 1
-        state.update((start, last, cnt))
+        pending = list(state.get[0]) if state.exists else []
+        pending = sorted(pending + ts_all)
+        if not pending:
+            return
+        frontier = pending[-1] - late_us
+        sessions: list[list[int]] = [[pending[0]]]
+        for t in pending[1:]:
+            if t - sessions[-1][-1] > gap_us:
+                sessions.append([t])
+            else:
+                sessions[-1].append(t)
+        rows, keep = [], []
+        for s in sessions:
+            if s[-1] + gap_us < frontier:  # no in-horizon event can attach
+                rows.append((user_id, s[0], s[-1], len(s)))
+            else:
+                keep.extend(s)
+        state.update((keep,))
         if rows:
             yield pd.DataFrame(
                 rows, columns=["user_id", "session_start_us", "session_end_us", "n_events"]
@@ -77,7 +90,7 @@ def stateful_user_sessions(
         .applyInPandasWithState(
             track,
             outputStructType="user_id long, session_start_us long, session_end_us long, n_events long",
-            stateStructType="start long, last long, cnt long",
+            stateStructType="pending array<long>",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -127,3 +127,50 @@ def test_summate_field_variants(spark):
     want = K.summate_incompr(COV_SAMPLES_2D, Z1, Z2, pos)
     np.testing.assert_allclose(got_i["u_0"], want[0], rtol=1e-12)
     np.testing.assert_allclose(got_i["u_1"], want[1], rtol=1e-12)
+
+
+def test_krige_universal_reproduces_drift(spark):
+    """Universal kriging is exact on functions inside its drift space: with
+    conditioning values lying on a plane v = a + b·x + c·y, the predictor
+    returns the plane at every target (ordinary kriging does not — it pulls
+    toward the local mean)."""
+    a, b, c = 2.0, 0.7, -1.3
+    rng = np.random.default_rng(5)
+    cx = rng.uniform(0, 4, 40)
+    cy = rng.uniform(0, 4, 40)
+    cv = a + b * cx + c * cy
+    tx = rng.uniform(0.5, 3.5, 25)
+    ty = rng.uniform(0.5, 3.5, 25)
+    cond = _df(spark, np.arange(40) + 1000, cx, cy, cv)
+    targets = _df(spark, np.arange(25), tx, ty)
+    model = GaussianModel(var=1.0, len_scale=1.5, nugget=0.0)
+
+    uni = krige(targets, cond, model, radius=4.0, method="universal", drift_order=1)
+    got = {r["id"]: r["krige_mean"] for r in uni.collect()}
+    want = a + b * tx + c * ty
+    for i in range(25):
+        assert abs(got[i] - want[i]) < 1e-6, (i, got[i], want[i])
+
+    # ordinary kriging on the same trend field is visibly biased off-plane
+    ordn = krige(targets, cond, model, radius=4.0, method="ordinary")
+    got_o = {r["id"]: r["krige_mean"] for r in ordn.collect()}
+    max_err_o = max(abs(got_o[i] - want[i]) for i in range(25))
+    assert max_err_o > 1e-3, max_err_o
+
+
+def test_krige_quadratic_drift(spark):
+    """drift_order=2 reproduces a quadratic surface exactly."""
+    rng = np.random.default_rng(6)
+    cx = rng.uniform(0, 3, 60)
+    cy = rng.uniform(0, 3, 60)
+    cv = 1.0 + 0.5 * cx - 0.25 * cy + 0.1 * cx * cx - 0.2 * cx * cy + 0.3 * cy * cy
+    tx = rng.uniform(0.5, 2.5, 15)
+    ty = rng.uniform(0.5, 2.5, 15)
+    cond = _df(spark, np.arange(60) + 1000, cx, cy, cv)
+    targets = _df(spark, np.arange(15), tx, ty)
+    model = GaussianModel(var=1.0, len_scale=1.0, nugget=0.0)
+    uni = krige(targets, cond, model, radius=3.0, method="universal", drift_order=2)
+    got = {r["id"]: r["krige_mean"] for r in uni.collect()}
+    want = 1.0 + 0.5 * tx - 0.25 * ty + 0.1 * tx * tx - 0.2 * tx * ty + 0.3 * ty * ty
+    for i in range(15):
+        assert abs(got[i] - want[i]) < 1e-5, (i, got[i], want[i])
