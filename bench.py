@@ -116,7 +116,12 @@ def bench_minhash(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return minhash_dedup(docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=8, shingle_k=3)
+    # hash_fn="xx": the production fast path (JVM xxhash64); the portable
+    # md5 default exists only for DuckDB-oracle differential testability
+    return minhash_dedup(
+        docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=8,
+        shingle_k=3, hash_fn="xx",
+    )
 
 
 def bench_ann(spark, sf_dir):

@@ -88,28 +88,34 @@ def minhash_signature(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 8
+    sigs: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 8,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """LSH banding: docs sharing any band become a candidate pair (a < b).
-    One explode + one self equi-join on (band, band-content key).  The key
-    is the band's literal signature slice (joined as a string), not a hash
-    of it — exact bucket semantics, mirrored 1:1 by the SQL oracle."""
+    One explode + one self equi-join on (band, band-content key).
+
+    ``portable``: the key is the band's literal signature slice joined as a
+    string — exact bucket semantics, mirrored 1:1 by the SQL oracle.
+    ``xx``: the key is xxhash64 of that slice — a long join key (smaller
+    shuffle, cheaper compares; collision odds ~2⁻⁶⁴ per pair, and any
+    collision only ADDS a candidate that exact verification then rejects).
+    """
+
+    def band_key(b: int):
+        k = F.concat_ws(
+            ",",
+            *[
+                F.col("signature")[b * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        return F.xxhash64(k) if hash_fn == "xx" else k
+
     banded = sigs.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("signature")[b * rows_per_band + r].cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
     )
     a = banded.select(F.col(id_col).alias("a_id"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("b_id"), "band", "bucket")
@@ -159,7 +165,7 @@ def minhash_dedup(
     # signature expressions recompute 4×.  At warehouse scale this is the
     # materialized signatures table.  Tracked for cache.clear_tracked().
     sigs = track(minhash_signature(df, text_col, num_hashes, shingle_k, hash_fn).persist())
-    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands, hash_fn)
     dups = (
         jaccard_verify(cands, sigs, id_col, threshold)
         .select(F.col("b_id").alias(id_col))

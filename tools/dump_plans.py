@@ -38,6 +38,9 @@ def main():
         "knn_join (ring candidates → per-query top-k window)":
             S.knn_join(pts.where(F.col("id") % 10 == 0), pts, k=5, radius=3.0,
                        query_id="id", base_id="id"),
+        "variogram_directional (plan-time literal cone tests, explode of passing dirs — no BNLJ, no window)":
+            V.variogram_directional(pts, [0.0, 1.0, 2.0, 3.0],
+                                    [(1.0, 0.0), (0.0, 1.0)]),
         "krige ordinary (cogroup applyInPandas per cell)":
             krige(pts, pts.where(F.col("id") % 5 == 0),
                   GaussianModel(1.0, 2.0, 0.01), radius=3.0),
