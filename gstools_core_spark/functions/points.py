@@ -75,3 +75,16 @@ def with_latlon(df: DataFrame, key: str, id_col: str = "id") -> DataFrame:
         lat_col(key).alias("lat"),
         lon_col(key).alias("lon"),
     )
+
+
+# third axis for 3-D point clouds (L'Ecuyer MINSTD-family multiplier)
+AZ, BZ, MZ = 40692, 3, 2000
+
+
+def sql_z(key: str = "doc_id") -> str:
+    """z in [-10, 9.99] on a 0.01 lattice (3-D blocking gate query)."""
+    return f"(CAST(({key} * {AZ} + {BZ}) % {MZ} AS DOUBLE) / 100.0 - 10.0)"
+
+
+def z_col(key: str = "doc_id") -> Column:
+    return F.expr(sql_z(key))

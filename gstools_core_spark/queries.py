@@ -165,6 +165,49 @@ def q_variogram_haversine(spark, sf_dir):
     return _variogram_out(out)
 
 
+def q_variogram_3d(spark, sf_dir):
+    """3-D unstructured variogram — exercises the d-dimensional half-stencil
+    blocking (lex-positive {-1,0,1}³ ring, 3-key equi-join) in the hash
+    gate, not just pytest."""
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = docs.select(
+        F.col("doc_id").alias("id"),
+        P.x_col("doc_id").alias("x"),
+        P.y_col("doc_id").alias("y"),
+        P.z_col("doc_id").alias("z"),
+        F.expr(VAL_SQL).alias("val"),
+    )
+    out = V.variogram_unstructured(pts, BIN_EDGES, coords=("x", "y", "z"))
+    return _variogram_out(out)
+
+
+def _sql_variogram_3d() -> str:
+    d3 = ("sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)"
+          " + (a.z - b.z) * (a.z - b.z))")
+    est = E.sql_estimate("fd", "m")
+    gamma = E.sql_normalize("coalesce(vsum, 0.0)", "coalesce(cnt, 0)", "m")
+    return f"""WITH pts AS (
+  SELECT doc_id AS id, {P.sql_x('doc_id')} AS x, {P.sql_y('doc_id')} AS y,
+         {P.sql_z('doc_id')} AS z, {VAL_SQL} AS val
+  FROM documents
+),
+pairs AS (
+  SELECT a.val - b.val AS fd, {d3} AS dist
+  FROM pts a JOIN pts b ON a.id < b.id
+),
+{_sql_bins(BIN_EDGES)},
+agg AS (
+  SELECT bin_id, sum({est}) AS vsum, count(*) AS cnt
+  FROM pairs JOIN bins ON dist >= lo AND dist < hi
+  GROUP BY bin_id
+)
+SELECT CAST(b.bin_id AS BIGINT) AS bin_id, b.lo, b.hi,
+       round({gamma}, 6) AS gamma,
+       CAST(coalesce(cnt, 0) AS BIGINT) AS counts
+FROM bins b LEFT JOIN agg ON b.bin_id = agg.bin_id"""
+
+
 def _sql_variogram_haversine() -> str:
     from gstools_core_spark.functions.distance import sql_haversine
 
@@ -444,6 +487,51 @@ sel AS (
   SELECT qid, bid, dist,
          row_number() OVER (PARTITION BY qid ORDER BY dist ASC, bid ASC) AS rank
   FROM cand WHERE dist <= {KNN_RADIUS!r}
+)
+SELECT qid, bid, round(dist, 9) AS dist, CAST(rank AS BIGINT) AS rank
+FROM sel WHERE rank <= {KNN_K}"""
+
+
+GEO_KNN_RADIUS = 0.05  # central angle, radians
+
+
+def q_geo_knn(spark, sf_dir):
+    """kNN on the sphere — exercises the wrapped haversine blocking grid
+    (antimeridian pmod, data-derived latitude bound) in the hash gate."""
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    geo = docs.select(
+        F.col("doc_id").alias("id"),
+        P.lat_col("doc_id").alias("lat"),
+        P.lon_col("doc_id").alias("lon"),
+    )
+    q = geo.where(F.col("id") % 10 == 0)
+    out = S.geo_knn_join(
+        q, geo, k=KNN_K, radius_rad=GEO_KNN_RADIUS, query_id="id", base_id="id"
+    )
+    return out.select(
+        "qid", "bid", F.round("dist", 9).alias("dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_geo_knn() -> str:
+    from gstools_core_spark.functions.distance import sql_haversine
+
+    hav = sql_haversine("q.lat", "q.lon", "b.lat", "b.lon")
+    return f"""WITH geo AS (
+  SELECT doc_id AS id, {P.sql_lat('doc_id')} AS lat, {P.sql_lon('doc_id')} AS lon
+  FROM documents
+),
+q AS (SELECT * FROM geo WHERE id % 10 = 0),
+cand AS (
+  SELECT q.id AS qid, b.id AS bid, {hav} AS dist
+  FROM q JOIN geo b ON true
+),
+sel AS (
+  SELECT qid, bid, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, bid ASC) AS rank
+  FROM cand WHERE dist <= {GEO_KNN_RADIUS!r}
 )
 SELECT qid, bid, round(dist, 9) AS dist, CAST(rank AS BIGINT) AS rank
 FROM sel WHERE rank <= {KNN_K}"""
@@ -1383,6 +1471,7 @@ def registry() -> dict[str, tuple]:
         "variogram_unstructured": (q_variogram_unstructured, _sql_variogram(BIN_EDGES, "m")),
         "variogram_cressie": (q_variogram_cressie, _sql_variogram(BIN_EDGES, "c")),
         "variogram_haversine": (q_variogram_haversine, _sql_variogram_haversine()),
+        "variogram_3d": (q_variogram_3d, _sql_variogram_3d()),
         "variogram_directional": (
             q_variogram_directional,
             _sql_variogram_directional(DIRECTIONS, ANGLES_TOL, -1.0, False),
@@ -1396,6 +1485,7 @@ def registry() -> dict[str, tuple]:
         "variogram_multifield": (q_variogram_multifield, _sql_variogram_multifield()),
         "tile_assignment": (q_tile_assignment, _sql_tile_assignment()),
         "knn_join": (q_knn_join, _sql_knn_join()),
+        "geo_knn": (q_geo_knn, _sql_geo_knn()),
         "point_in_polygon": (q_point_in_polygon, _sql_point_in_polygon()),
         "rasterize": (q_rasterize, _sql_rasterize()),
         "krige_ordinary": (q_krige_ordinary, None),
