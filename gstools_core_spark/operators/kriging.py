@@ -12,9 +12,10 @@ Per the north star, this engine owns BOTH steps:
   cell through the numpy kernels (kernels.calc_field_krige_and_variance) —
   i.e. the reference's matrix kernel runs verbatim on each neighborhood.
 
-Covariance model: Gaussian, cov(h) = var·exp(−(h/len_scale)²), plus nugget
-at h=0.  Simple kriging (known mean) and ordinary kriging (Lagrange row)
-are provided.
+Covariance models: any functions/models.CovModel (Gaussian, Exponential,
+Spherical, Matérn, Stable); the nugget enters only the Gram diagonal.
+Simple (known mean), ordinary (Lagrange row), and universal (polynomial
+drift) kriging are provided; anisotropy via functions.models.isotropize.
 """
 
 from __future__ import annotations
@@ -27,26 +28,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gstools_core_spark import kernels as K
-
-
-class GaussianModel:
-    """cov(h) = var·exp(−(h/len_scale)²); the nugget is measurement error and
-    enters ONLY the Gram-matrix diagonal (not cross-covariances between
-    distinct coincident samples — that would make duplicated sample
-    locations exactly singular)."""
-
-    def __init__(self, var: float = 1.0, len_scale: float = 1.0, nugget: float = 0.0):
-        self.var = float(var)
-        self.len_scale = float(len_scale)
-        self.nugget = float(nugget)
-
-    def cov(self, h: np.ndarray) -> np.ndarray:
-        h = np.asarray(h, dtype=np.float64)
-        return self.var * np.exp(-((h / self.len_scale) ** 2))
-
-    @property
-    def sill(self) -> float:
-        return self.var + self.nugget
+from gstools_core_spark.functions.models import (  # noqa: F401 — re-exported API
+    CovModel,
+    Exponential,
+    Gaussian,
+    GaussianModel,
+    Matern,
+    Spherical,
+    Stable,
+)
 
 
 def _ring_stamp(df: DataFrame, radius: float, coords: Sequence[str]) -> DataFrame:
@@ -112,8 +102,9 @@ def krige(
         ("cx_pt", "cy_pt"),
     )
 
-    var, len_scale, nugget = model.var, model.len_scale, model.nugget
+    nugget = model.nugget
     sill = model.sill
+    mcov = model.cov  # any functions.models.CovModel (tiny, picklable)
     simple = method == "simple"
     mu = float(mean)
     # monomial drift basis: ordinary kriging = constant drift only
@@ -157,13 +148,10 @@ def krige(
             cx, cy, cv = cx[keep], cy[keep], cv[keep]
         nc = len(cx)
 
-        def cov(h):
-            return var * np.exp(-((h / len_scale) ** 2))
-
         dxx = np.hypot(cx[:, None] - cx[None, :], cy[:, None] - cy[None, :])
         dxt = np.hypot(cx[:, None] - tx[None, :], cy[:, None] - ty[None, :])
-        C = cov(dxx) + nugget * np.eye(nc)  # nugget on the diagonal only
-        V = cov(dxt)  # (nc, nt)
+        C = mcov(dxx) + nugget * np.eye(nc)  # nugget on the diagonal only
+        V = mcov(dxt)  # (nc, nt)
 
         if simple:
             # pre-invert once per neighborhood, then run the reference kernel

@@ -174,3 +174,72 @@ def test_krige_quadratic_drift(spark):
     want = 1.0 + 0.5 * tx - 0.25 * ty + 0.1 * tx * tx - 0.2 * tx * ty + 0.3 * ty * ty
     for i in range(15):
         assert abs(got[i] - want[i]) < 1e-5, (i, got[i], want[i])
+
+
+def test_krige_model_zoo_exact_interpolation(spark):
+    """Every covariance model: with nugget=0, ordinary kriging at a
+    conditioning LOCATION reproduces the conditioning VALUE (exact
+    interpolation) with near-zero kriging variance."""
+    from gstools_core_spark.functions.models import (
+        Exponential, Gaussian, Matern, Spherical, Stable,
+    )
+
+    rng = np.random.default_rng(11)
+    cx = rng.uniform(0, 4, 30)
+    cy = rng.uniform(0, 4, 30)
+    cv = rng.normal(size=30)
+    cond = _df(spark, np.arange(30) + 1000, cx, cy, cv)
+    # targets AT the first 8 conditioning locations
+    targets = _df(spark, np.arange(8), cx[:8], cy[:8])
+
+    models = [
+        Gaussian(var=1.0, len_scale=1.5),
+        Exponential(var=2.0, len_scale=1.0),
+        Spherical(var=1.0, len_scale=3.0),
+        Matern(var=1.0, len_scale=1.0, nu=1.5),
+        Matern(var=1.0, len_scale=1.0, nu=2.5),
+        Stable(var=1.0, len_scale=1.0, alpha=1.2),
+    ]
+    for model in models:
+        out = krige(targets, cond, model, radius=4.0, method="ordinary")
+        got = {r["id"]: (r["krige_mean"], r["krige_var"]) for r in out.collect()}
+        for i in range(8):
+            m, v = got[i]
+            assert abs(m - cv[i]) < 1e-7, (type(model).__name__, i, m, cv[i])
+            assert v < 1e-6, (type(model).__name__, i, v)
+
+
+def test_isotropize_matches_numpy_transform(spark):
+    """Anisotropy path: variogram on isotropized Spark coords == numpy
+    kernel variogram on the manually transformed cloud."""
+    import math
+
+    from gstools_core_spark import kernels as K
+    from gstools_core_spark.functions.models import isotropize
+    from gstools_core_spark.operators.variogram import variogram_unstructured
+
+    rng = np.random.default_rng(21)
+    n = 300
+    x = rng.uniform(-5, 5, n)
+    y = rng.uniform(-5, 5, n)
+    val = rng.normal(size=n)
+    angle, anis = math.pi / 6, 0.5
+    df = _df(spark, np.arange(n), x, y, val)
+
+    iso = isotropize(df, angle=angle, anis=anis)
+    edges = [0.0, 1.0, 2.0, 3.0, 4.0]
+    got = {
+        r["bin_id"]: (r["gamma"], r["counts"])
+        for r in variogram_unstructured(iso, edges).collect()
+    }
+
+    c, s = math.cos(angle), math.sin(angle)
+    xp = x * c + y * s
+    yp = (-x * s + y * c) / anis
+    pos = np.stack([xp, yp])
+    gamma, counts = K.variogram_unstructured(
+        val.reshape(1, -1), np.array(edges), pos, estimator="m"
+    )
+    for b in range(len(edges) - 1):
+        assert got[b][1] == int(counts[b])
+        assert abs(got[b][0] - gamma[b]) < 1e-9
