@@ -620,11 +620,15 @@ def q_krige_small(spark, sf_dir):
     )
 
 
-def _sql_krige_small() -> str:
-    """Closed forms (var=1, len_scale=2, nugget=0.01, σ = sill = 1.01):
-    nc=0 → prior (0, sill); nc=1 → w=1, μ=c1−σ: est=z1, var=2σ−2c1;
-    nc=2 → r=(c1−c2)/(σ−c12), w1=(1+r)/2, w2=(1−r)/2, μ=c1−w1σ−w2c12.
-    LAPACK vs analytic agree to ≪1e-6, so round(…,6) hash-matches."""
+def _sql_krige_closed_ctes() -> str:
+    """Shared CTE chain: given `pts` (targets) and `cond` (id,x,y,val),
+    produce `nb` (ring neighborhoods, radius 3.0) and `solved` (closed-form
+    ordinary-kriging est/kvar for nc in {1,2}).  Closed forms
+    (var=1, len_scale=2, nugget=0.01, sigma = sill = 1.01):
+    nc=1 -> w=1, mu=c1-sigma: est=z1, var=2*sigma-2*c1;
+    nc=2 -> r=(c1-c2)/(sigma-c12), w1=(1+r)/2, w2=(1-r)/2,
+    mu=c1-w1*sigma-w2*c12.  LAPACK vs analytic agree to << 1e-6, so
+    round(...,6) hash-matches."""
     sig = 1.01
     cov = "exp(-((({d}) / 2.0) * (({d}) / 2.0)))"
     d_t = "sqrt((x - px{i}) * (x - px{i}) + (y - py{i}) * (y - py{i}))"
@@ -632,9 +636,7 @@ def _sql_krige_small() -> str:
     c2 = cov.format(d=d_t.format(i=2))
     d12 = "sqrt((px1 - px2) * (px1 - px2) + (py1 - py2) * (py1 - py2))"
     c12 = cov.format(d=d12)
-    return f"""WITH {SQL_PTS},
-cond AS (SELECT id, x, y, val FROM pts WHERE id % {KRIGE_SMALL_MOD} = 0),
-tc AS (SELECT id, x, y,
+    return f"""tc AS (SELECT id, x, y,
               CAST(floor(x / 3.0) AS BIGINT) AS cx,
               CAST(floor(y / 3.0) AS BIGINT) AS cy FROM pts),
 cc AS (SELECT id, x, y, val,
@@ -675,12 +677,58 @@ solved AS (
                 0.0)
          END AS kvar
   FROM piv p WHERE nc <= 2
-)
+)"""
+
+
+def _sql_krige_small() -> str:
+    return f"""WITH {SQL_PTS},
+cond AS (SELECT id, x, y, val FROM pts WHERE id % {KRIGE_SMALL_MOD} = 0),
+{_sql_krige_closed_ctes()}
 SELECT t.id,
        round(coalesce(s.est, 0.0), 6) AS krige_mean,
-       round(coalesce(s.kvar, {sig!r}), 6) AS krige_var,
+       round(coalesce(s.kvar, 1.01), 6) AS krige_var,
        CAST(coalesce(s.nc, 0) AS BIGINT) AS n_cond
 FROM pts t
+LEFT JOIN solved s ON s.id = t.id
+LEFT JOIN (SELECT id, count(*) AS nc_all FROM nb GROUP BY id) f ON f.id = t.id
+WHERE coalesce(f.nc_all, 0) <= 2"""
+
+
+def q_cond_field_small(spark, sf_dir):
+    """Conditional simulation (unconditional summate field bent through
+    conditioning data via kriged residuals), restricted to <=2-point
+    neighborhoods so DuckDB can replay the whole composition in closed
+    form — the flagship estimate->simulate workflow, hash-checked."""
+    from gstools_core_spark.operators.fit import conditional_field
+
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir)
+    cond = pts.where(F.col("id") % KRIGE_SMALL_MOD == 0)
+    model = GaussianModel(var=1.0, len_scale=2.0, nugget=0.01)
+    out = conditional_field(pts, cond, model, MODES, MZ1, MZ2, radius=3.0)
+    return out.where(F.col("n_cond") <= 2).select(
+        "id", F.round("cond_field", 6).alias("cond_field"), "n_cond"
+    )
+
+
+def _sql_cond_field_small() -> str:
+    term = "z1 * cos(kx * x + ky * y) + z2 * sin(kx * x + ky * y)"
+    return f"""WITH {SQL_PTS}, {_modes_sql_values()},
+uu AS (
+  SELECT id, sum({term}) AS u
+  FROM pts CROSS JOIN modes GROUP BY id, x, y
+),
+cond AS (
+  SELECT p.id, p.x, p.y, p.val - uu.u AS val
+  FROM pts p JOIN uu ON uu.id = p.id
+  WHERE p.id % {KRIGE_SMALL_MOD} = 0
+),
+{_sql_krige_closed_ctes()}
+SELECT t.id,
+       round(u.u + coalesce(s.est, 0.0), 6) AS cond_field,
+       CAST(coalesce(s.nc, 0) AS BIGINT) AS n_cond
+FROM pts t
+JOIN uu u ON u.id = t.id
 LEFT JOIN solved s ON s.id = t.id
 LEFT JOIN (SELECT id, count(*) AS nc_all FROM nb GROUP BY id) f ON f.id = t.id
 WHERE coalesce(f.nc_all, 0) <= 2"""
@@ -1490,6 +1538,7 @@ def registry() -> dict[str, tuple]:
         "rasterize": (q_rasterize, _sql_rasterize()),
         "krige_ordinary": (q_krige_ordinary, None),
         "krige_small": (q_krige_small, _sql_krige_small()),
+        "cond_field_small": (q_cond_field_small, _sql_cond_field_small()),
         "krige_universal": (q_krige_universal, None),
         "krige_raster": (q_krige_raster, None),
         "summate": (q_summate, _sql_summate("scalar")),

@@ -243,3 +243,89 @@ def test_isotropize_matches_numpy_transform(spark):
     for b in range(len(edges) - 1):
         assert got[b][1] == int(counts[b])
         assert abs(got[b][0] - gamma[b]) < 1e-9
+
+
+def test_fit_variogram_recovers_model():
+    """Driver-side fit: synthetic empirical variogram from a known model
+    (+ tiny noise) recovers (var, len_scale, nugget)."""
+    from gstools_core_spark.functions.models import Exponential, Gaussian
+    from gstools_core_spark.operators.fit import fit_variogram
+
+    rng = np.random.default_rng(3)
+    for cls, kw, true in [
+        (Exponential, {}, dict(var=2.0, len_scale=1.5, nugget=0.1)),
+        (Gaussian, {}, dict(var=1.0, len_scale=2.0, nugget=0.0)),
+    ]:
+        m = cls(**true, **kw)
+        h = np.linspace(0.2, 8.0, 25)
+        gamma = m.nugget + m.var * (1.0 - m.cor(h / m.len_scale))
+        gamma = gamma * (1.0 + 0.005 * rng.normal(size=len(h)))
+        counts = np.full(len(h), 1000.0)
+        fit = fit_variogram((h, gamma, counts), cls, **kw)
+        assert abs(fit.var - true["var"]) / true["var"] < 0.1, (cls.__name__, fit.var)
+        assert abs(fit.len_scale - true["len_scale"]) / true["len_scale"] < 0.15
+        assert abs(fit.nugget - true["nugget"]) < 0.1
+
+
+def test_fit_variogram_from_spark_output(spark):
+    """End-to-end estimate→fit: the fitted sill tracks the field variance."""
+    from pyspark.sql import functions as F
+
+    from gstools_core_spark.functions.models import Exponential
+    from gstools_core_spark.operators.fit import fit_variogram
+    from gstools_core_spark.operators.variogram import variogram_unstructured
+
+    rng = np.random.default_rng(4)
+    n = 400
+    x = rng.uniform(0, 10, n)
+    y = rng.uniform(0, 10, n)
+    val = np.sin(x) + 0.3 * rng.normal(size=n)  # correlated + noise
+    df = _df(spark, np.arange(n), x, y, val)
+    edges = [0.0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0]
+    vario = variogram_unstructured(df, edges)
+    fit = fit_variogram(vario, Exponential)
+    # goodness of fit: count-weighted relative RMSE of the fitted curve
+    # (the field is a sinusoid — an Exponential can track it only roughly,
+    # especially in the sparse first bin, so assert the aggregate fit)
+    rows = vario.where(F.col("counts") > 0).collect()
+    num = den = 0.0
+    for r in rows:
+        h = (r["lo"] + r["hi"]) / 2.0
+        pred = fit.nugget + fit.var * (1.0 - fit.cor(h / fit.len_scale))
+        num += r["counts"] * (pred - r["gamma"]) ** 2
+        den += r["counts"] * r["gamma"] ** 2
+    assert (num / den) ** 0.5 < 0.25, (num / den) ** 0.5
+    assert fit.var > 0.0 and fit.len_scale > 0.0
+
+
+def test_conditional_field_honors_data(spark):
+    """Conditional simulation equals the conditioning values AT the
+    conditioning locations and stays finite elsewhere."""
+    from gstools_core_spark.functions.models import Gaussian
+    from gstools_core_spark.operators.fit import conditional_field
+
+    rng = np.random.default_rng(9)
+    n_modes = 64
+    modes = rng.normal(size=(2, n_modes))
+    z1 = rng.normal(size=n_modes)
+    z2 = rng.normal(size=n_modes)
+
+    cx = rng.uniform(0, 4, 25)
+    cy = rng.uniform(0, 4, 25)
+    cv = rng.normal(size=25)
+    cond = _df(spark, np.arange(25) + 1000, cx, cy, cv)
+    # targets: the conditioning locations plus fresh ones
+    tx = np.concatenate([cx[:10], rng.uniform(0.5, 3.5, 15)])
+    ty = np.concatenate([cy[:10], rng.uniform(0.5, 3.5, 15)])
+    targets = _df(spark, np.arange(25), tx, ty)
+
+    model = Gaussian(var=1.0, len_scale=1.5, nugget=0.0)
+    out = conditional_field(
+        targets, cond, model, modes, z1, z2, radius=4.0
+    )
+    got = {r["id"]: r["cond_field"] for r in out.collect()}
+    assert len(got) == 25
+    for i in range(10):  # at data locations: exact
+        assert abs(got[i] - cv[i]) < 1e-6, (i, got[i], cv[i])
+    for i in range(10, 25):
+        assert np.isfinite(got[i])
