@@ -40,23 +40,33 @@ from gstools_core_spark.functions.models import (  # noqa: F401 — re-exported 
 
 
 def _ring_stamp(df: DataFrame, radius: float, coords: Sequence[str]) -> DataFrame:
-    cx = F.floor(F.col(coords[0]) / F.lit(radius)).cast("long")
-    cy = F.floor(F.col(coords[1]) / F.lit(radius)).cast("long")
+    """Stamp each row onto the full 3^d ring of its blocking cell."""
+    import itertools
+
+    d = len(coords)
+    cells = [
+        F.floor(F.col(c) / F.lit(radius)).cast("long").alias(f"_c{k}")
+        for k, c in enumerate(coords)
+    ]
     offsets = F.array(
         *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
+            F.struct(*[F.lit(o[k]).alias(f"d{k}") for k in range(d)])
+            for o in itertools.product((-1, 0, 1), repeat=d)
         ]
     )
-    return (
-        df.withColumn("_cx", cx)
-        .withColumn("_cy", cy)
-        .withColumn("_off", F.explode(offsets))
-        .withColumn("jcx", F.col("_cx") + F.col("_off.dx"))
-        .withColumn("jcy", F.col("_cy") + F.col("_off.dy"))
-        .drop("_cx", "_cy", "_off")
-    )
+    out = df.select("*", *cells).withColumn("_off", F.explode(offsets))
+    for k in range(d):
+        out = out.withColumn(f"jc{k}", F.col(f"_c{k}") + F.col(f"_off.d{k}"))
+    return out.drop(*[f"_c{k}" for k in range(d)], "_off")
+
+
+def _pairwise_dist(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(na, d) × (nb, d) → (na, nb) Euclid; 2-D keeps np.hypot (bitwise
+    parity with the original 2-D implementation and its golden tests)."""
+    if A.shape[1] == 2:
+        return np.hypot(A[:, 0:1] - B[None, :, 0], A[:, 1:2] - B[None, :, 1])
+    diff = A[:, None, :] - B[None, :, :]
+    return np.sqrt(np.sum(diff * diff, axis=2))
 
 
 def krige(
@@ -72,34 +82,41 @@ def krige(
     max_cond: int = 512,
     drift_order: int = 1,
 ) -> DataFrame:
-    """Krige ``cond`` onto ``targets`` → (id, x, y, krige_mean, krige_var, n_cond).
+    """Krige ``cond`` onto ``targets`` → (id, <coords…>, krige_mean,
+    krige_var, n_cond).  Any dimension (``coords`` of length d — blocking
+    cells and neighborhoods generalize to the 3^d ring), matching the
+    reference kernels' any-dim contract (krige.rs takes no dimension).
 
     ``method`` — 'simple' (known ``mean``), 'ordinary' (constant unknown
     mean, one Lagrange row), or 'universal' (unknown polynomial drift: the
     Lagrange block generalizes to monomial drift functions up to
-    ``drift_order`` — order 1 = {1, x, y}, order 2 adds {x², xy, y²};
-    ordinary ≡ universal with order 0).  Universal kriging reproduces any
-    target function inside the drift space exactly (pytest-pinned).
-    Targets whose 3×3 cell ring holds no conditioning points fall back to the
-    prior (mean, sill).  Neighborhoods are capped at ``max_cond`` points
-    (nearest to the cell center) to bound the per-cell solve.
+    ``drift_order`` — order 1 = the coords, order 2 adds all quadratic
+    monomials; ordinary ≡ universal with order 0).  Universal kriging
+    reproduces any target function inside the drift space exactly
+    (pytest-pinned).  Targets whose 3^d cell ring holds no conditioning
+    points fall back to the prior (mean, sill).  Neighborhoods are capped
+    at ``max_cond`` points (nearest to the cell center) to bound the
+    per-cell solve.
     """
-    xc, yc = coords
+    import itertools
+
+    d = len(coords)
+    jkeys = [f"jc{k}" for k in range(d)]
     t = targets.select(
         F.col(target_id).alias("tid"),
-        F.col(xc).alias("tx"),
-        F.col(yc).alias("ty"),
-        F.floor(F.col(xc) / F.lit(radius)).cast("long").alias("jcx"),
-        F.floor(F.col(yc) / F.lit(radius)).cast("long").alias("jcy"),
+        *[F.col(c).alias(f"t{k}") for k, c in enumerate(coords)],
+        *[
+            F.floor(F.col(c) / F.lit(radius)).cast("long").alias(jkeys[k])
+            for k, c in enumerate(coords)
+        ],
     )
     c = _ring_stamp(
         cond.select(
-            F.col(xc).alias("cx_pt"),
-            F.col(yc).alias("cy_pt"),
+            *[F.col(cc).alias(f"c{k}") for k, cc in enumerate(coords)],
             F.col(cond_val).alias("cval"),
         ),
         radius,
-        ("cx_pt", "cy_pt"),
+        tuple(f"c{k}" for k in range(d)),
     )
 
     nugget = model.nugget
@@ -110,46 +127,56 @@ def krige(
     # monomial drift basis: ordinary kriging = constant drift only
     n_drift_order = 0 if method == "ordinary" else int(drift_order)
 
-    def drift_basis(px: np.ndarray, py: np.ndarray) -> np.ndarray:
-        rows = [np.ones_like(px)]
+    def drift_basis(P: np.ndarray) -> np.ndarray:  # P: (n, d)
+        rows = [np.ones(P.shape[0])]
         if n_drift_order >= 1:
-            rows += [px, py]
+            rows += [P[:, k] for k in range(d)]
         if n_drift_order >= 2:
-            rows += [px * px, px * py, py * py]
+            rows += [
+                P[:, i] * P[:, j]
+                for i in range(d)
+                for j in range(i, d)
+            ]
         return np.stack(rows)  # (nd, n)
+
+    t_cols = [f"t{k}" for k in range(d)]
+    c_cols = [f"c{k}" for k in range(d)]
+    out_schema = (
+        "tid long, "
+        + ", ".join(f"{tc} double" for tc in t_cols)
+        + ", krige_mean double, krige_var double, n_cond long"
+    )
 
     def solve_cell(key, t_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
         if t_pdf.empty:
             return pd.DataFrame(
-                columns=["tid", "tx", "ty", "krige_mean", "krige_var", "n_cond"]
+                columns=["tid", *t_cols, "krige_mean", "krige_var", "n_cond"]
             )
-        tx = t_pdf["tx"].to_numpy(np.float64)
-        ty = t_pdf["ty"].to_numpy(np.float64)
+        T = t_pdf[t_cols].to_numpy(np.float64)  # (nt, d)
+        base = {"tid": t_pdf["tid"]}
+        for k, tc in enumerate(t_cols):
+            base[tc] = T[:, k]
         if c_pdf.empty:
             return pd.DataFrame(
                 {
-                    "tid": t_pdf["tid"],
-                    "tx": tx,
-                    "ty": ty,
-                    "krige_mean": np.full(len(tx), mu),
-                    "krige_var": np.full(len(tx), sill),
-                    "n_cond": np.zeros(len(tx), dtype=np.int64),
+                    **base,
+                    "krige_mean": np.full(len(T), mu),
+                    "krige_var": np.full(len(T), sill),
+                    "n_cond": np.zeros(len(T), dtype=np.int64),
                 }
             )
-        cx = c_pdf["cx_pt"].to_numpy(np.float64)
-        cy = c_pdf["cy_pt"].to_numpy(np.float64)
+        C_pts = c_pdf[c_cols].to_numpy(np.float64)  # (nc, d)
         cv = c_pdf["cval"].to_numpy(np.float64)
-        if len(cx) > max_cond:
+        if len(C_pts) > max_cond:
             # keep the max_cond conditioning points nearest the cell center
-            ccx = (key[0] + 0.5) * radius
-            ccy = (key[1] + 0.5) * radius
-            d2 = (cx - ccx) ** 2 + (cy - ccy) ** 2
+            center = (np.asarray(key, dtype=np.float64) + 0.5) * radius
+            d2 = np.sum((C_pts - center) ** 2, axis=1)
             keep = np.argpartition(d2, max_cond)[:max_cond]
-            cx, cy, cv = cx[keep], cy[keep], cv[keep]
-        nc = len(cx)
+            C_pts, cv = C_pts[keep], cv[keep]
+        nc = len(C_pts)
 
-        dxx = np.hypot(cx[:, None] - cx[None, :], cy[:, None] - cy[None, :])
-        dxt = np.hypot(cx[:, None] - tx[None, :], cy[:, None] - ty[None, :])
+        dxx = _pairwise_dist(C_pts, C_pts)
+        dxt = _pairwise_dist(C_pts, T)
         C = mcov(dxx) + nugget * np.eye(nc)  # nugget on the diagonal only
         V = mcov(dxt)  # (nc, nt)
 
@@ -166,8 +193,8 @@ def krige(
             # ordinary/universal kriging: drift-extended (Lagrange) solve.
             # Ordinary = constant drift {1}; universal adds monomials —
             # the unbiasedness constraints F·w = f(target) per drift fn.
-            Fd = drift_basis(cx, cy)  # (nd, nc)
-            Ft = drift_basis(tx, ty)  # (nd, nt)
+            Fd = drift_basis(C_pts)  # (nd, nc)
+            Ft = drift_basis(T)  # (nd, nt)
             nd = Fd.shape[0]
             A = np.zeros((nc + nd, nc + nd))
             A[:nc, :nc] = C
@@ -187,27 +214,21 @@ def krige(
             )
         return pd.DataFrame(
             {
-                "tid": t_pdf["tid"],
-                "tx": tx,
-                "ty": ty,
+                **base,
                 "krige_mean": est,
                 "krige_var": kvar,
-                "n_cond": np.full(len(tx), nc, dtype=np.int64),
+                "n_cond": np.full(len(T), nc, dtype=np.int64),
             }
         )
 
     out = (
-        t.groupBy("jcx", "jcy")
-        .cogroup(c.groupBy("jcx", "jcy"))
-        .applyInPandas(
-            solve_cell,
-            "tid long, tx double, ty double, krige_mean double, krige_var double, n_cond long",
-        )
+        t.groupBy(*jkeys)
+        .cogroup(c.groupBy(*jkeys))
+        .applyInPandas(solve_cell, out_schema)
     )
     return out.select(
         F.col("tid").alias(target_id),
-        F.col("tx").alias(xc),
-        F.col("ty").alias(yc),
+        *[F.col(f"t{k}").alias(c) for k, c in enumerate(coords)],
         "krige_mean",
         "krige_var",
         "n_cond",

@@ -329,3 +329,38 @@ def test_conditional_field_honors_data(spark):
         assert abs(got[i] - cv[i]) < 1e-6, (i, got[i], cv[i])
     for i in range(10, 25):
         assert np.isfinite(got[i])
+
+
+def test_krige_3d_exact_interpolation(spark):
+    """Any-dim contract: 3-D ordinary kriging (3^3 ring blocking)
+    reproduces conditioning values at conditioning locations."""
+    from gstools_core_spark.functions.models import Gaussian
+
+    rng = np.random.default_rng(13)
+    n = 40
+    cx, cy, cz = (rng.uniform(0, 4, n) for _ in range(3))
+    cv = rng.normal(size=n)
+    cond_rows = [
+        (int(i + 1000), float(cx[i]), float(cy[i]), float(cz[i]), float(cv[i]))
+        for i in range(n)
+    ]
+    cond = spark.createDataFrame(
+        cond_rows, "id long, x double, y double, z double, val double"
+    )
+    t_rows = [
+        (int(i), float(cx[i]), float(cy[i]), float(cz[i])) for i in range(8)
+    ]
+    targets = spark.createDataFrame(t_rows, "id long, x double, y double, z double")
+
+    model = Gaussian(var=1.0, len_scale=2.0, nugget=0.0)
+    out = krige(
+        targets, cond, model, radius=4.0, method="ordinary",
+        coords=("x", "y", "z"),
+    )
+    got = {r["id"]: (r["krige_mean"], r["krige_var"], r["n_cond"]) for r in out.collect()}
+    assert len(got) == 8
+    for i in range(8):
+        m, v, nc = got[i]
+        assert nc == n  # all cond in the single 4.0-cell ring
+        assert abs(m - cv[i]) < 1e-7, (i, m, cv[i])
+        assert v < 1e-6
