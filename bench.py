@@ -124,6 +124,29 @@ def bench_minhash(spark, sf_dir):
     )
 
 
+def bench_pages_krige_raster(spark, sf_dir):
+    """The north-star chain end-to-end: Common-Crawl-style pages →
+    deterministic geocode → quality signal → ordinary kriging of the
+    quality surface from a conditioning subsample → rasterized tile
+    grids.  Every stage is the scale-path operator (distributed synthesis,
+    column-expression geocode, cogrouped kriging, applyInPandas rasters)."""
+    from gstools_core_spark.functions import text as T
+    from gstools_core_spark.operators.spatial import rasterize_tiles
+
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    pages = geocode(synthesize_pages(spark, n))
+    pts = pages.select(
+        F.xxhash64("url").alias("id"),
+        F.col("lon").alias("x"),
+        F.col("lat").alias("y"),
+        T.quality_score(F.col("text")).alias("val"),
+    )
+    cond = pts.where(F.pmod(F.col("id"), F.lit(10)) == 0)
+    model = GaussianModel(var=1.0, len_scale=5.0, nugget=0.01)
+    kriged = krige(pts, cond, model, radius=5.0, method="ordinary", max_cond=256)
+    return rasterize_tiles(kriged, cell_size=2.0, value_col="krige_mean", tile_cells=8)
+
+
 def bench_ann(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") % 10 == 0)
@@ -138,6 +161,7 @@ QUERIES = {
     "knn": bench_knn,
     "summate": bench_summate,
     "pages_tiles": bench_pages_tiles,
+    "pages_krige_raster": bench_pages_krige_raster,
     "minhash_dedup": bench_minhash,
     "ann_topk": bench_ann,
 }
