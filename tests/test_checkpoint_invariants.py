@@ -236,3 +236,32 @@ def test_stateful_sessions_out_of_order_batches(spark, tmp_path):
     start_us = base.value // 1000
     end_us = (base + 10 * m).value // 1000
     assert (7, start_us, end_us, 4) in rows, rows
+
+
+def test_catalog_dispatch(spark, sf_dir, tmp_path):
+    """read_table/write_table: paths → parquet; dotted names → session
+    catalog (Iceberg's interface; exercised here via a temp view since the
+    sandbox has no Iceberg jar — the dispatch and the parquet round-trip
+    are what this engine owns)."""
+    from gstools_core_spark.sources.catalog import (
+        is_table_identifier,
+        read_table,
+        write_table,
+    )
+
+    assert is_table_identifier("warehouse.db.pages")
+    assert not is_table_identifier("/root/testdata/sf0.01/documents.parquet")
+    assert not is_table_identifier("out.parquet")
+
+    df = read_table(spark, f"{sf_dir}/documents.parquet")
+    assert df.count() > 0
+
+    out = str(tmp_path / "pages_out")
+    write_table(df.limit(50), out, partition_by=("lang",))
+    back = read_table(spark, out)
+    assert back.count() == 50
+    assert any("lang=" in str(p) for p in (tmp_path / "pages_out").iterdir())
+
+    df.limit(5).createOrReplaceTempView("catalog_dispatch_view")
+    via_table = read_table(spark, "catalog_dispatch_view", fmt="table")
+    assert via_table.count() == 5

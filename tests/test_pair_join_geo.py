@@ -121,3 +121,56 @@ def test_geo_knn_wraps_antimeridian(spark):
     got = [(r["bid"], r["rank"]) for r in out.orderBy("rank").collect()]
     # nearest is the cross-seam point (Δlon=0.1°), then 179.5 (Δlon=0.45°)
     assert got == [(0, 1), (1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# property-based: random clouds, random radius — pair set == brute force
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n=st.integers(5, 60),
+        dim=st.sampled_from([2, 3]),
+        max_dist=st.floats(0.3, 4.0),
+    )
+    def test_pair_join_matches_bruteforce_property(spark, seed, n, dim, max_dist):
+        """For any cloud and radius, the blocked ring join yields exactly
+        the brute-force pair set (work-halved a_id < b_id, dist < max_dist)."""
+        import numpy as np
+
+        from gstools_core_spark.operators.pair_join import pair_join
+
+        rng = np.random.default_rng(seed)
+        P = rng.uniform(-5, 5, size=(n, dim))
+        cols = ["x", "y", "z"][:dim]
+        rows = [(i, *[float(v) for v in P[i]]) for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "id long, " + ", ".join(f"{c} double" for c in cols)
+        )
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in pair_join(
+                df, float(max_dist), id_col="id", coords=tuple(cols), payload_cols=()
+            ).collect()
+        }
+        ii, jj = np.triu_indices(n, k=1)
+        d = np.sqrt(np.sum((P[ii] - P[jj]) ** 2, axis=1))
+        want = {
+            (int(a), int(b)) for a, b, dd in zip(ii, jj, d) if dd < max_dist
+        }
+        assert got == want
