@@ -315,6 +315,71 @@ FROM dirs d CROSS JOIN bins b
 LEFT JOIN agg ON agg.dir_id = d.dir_id AND agg.bin_id = b.bin_id"""
 
 
+DIRECTIONS_3D = [(1.0, 0.0, 0.0), (0.0, 0.0, 1.0)]
+
+
+def q_variogram_directional_3d(spark, sf_dir):
+    """3-D directional variogram — the any-dim cone test + d-dim blocking
+    through the hash gate (directions along x and z)."""
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = docs.select(
+        F.col("doc_id").alias("id"),
+        P.x_col("doc_id").alias("x"),
+        P.y_col("doc_id").alias("y"),
+        P.z_col("doc_id").alias("z"),
+        F.expr(VAL_SQL).alias("val"),
+    )
+    out = V.variogram_directional(
+        pts, BIN_EDGES, DIRECTIONS_3D, angles_tol=ANGLES_TOL,
+        bandwidth=-1.0, coords=("x", "y", "z"),
+    )
+    return out.select(
+        "dir_id", "bin_id", "lo", "hi", F.round("gamma", 6).alias("gamma"), "counts"
+    )
+
+
+def _sql_variogram_directional_3d() -> str:
+    gamma = E.sql_normalize("coalesce(vsum, 0.0)", "coalesce(cnt, 0)", "m")
+    dir_rows = ", ".join(
+        f"({i}, CAST({dx!r} AS DOUBLE), CAST({dy!r} AS DOUBLE), CAST({dz!r} AS DOUBLE))"
+        for i, (dx, dy, dz) in enumerate(DIRECTIONS_3D)
+    )
+    s = "(ddx * dx + ddy * dy + ddz * dz)"
+    angle = f"(abs({s}) / dist)"
+    dir_test = (
+        f"NOT (dist > 0.0 AND {angle} < 1.0"
+        f" AND acos(least({angle}, 1.0)) >= CAST({ANGLES_TOL!r} AS DOUBLE))"
+    )
+    return f"""WITH pts AS (
+  SELECT doc_id AS id, {P.sql_x('doc_id')} AS x, {P.sql_y('doc_id')} AS y,
+         {P.sql_z('doc_id')} AS z, {VAL_SQL} AS val
+  FROM documents
+),
+pairs AS (
+  SELECT a.val - b.val AS fd,
+         a.x - b.x AS ddx, a.y - b.y AS ddy, a.z - b.z AS ddz,
+         sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              + (a.z - b.z) * (a.z - b.z)) AS dist
+  FROM pts a JOIN pts b ON a.id < b.id
+),
+dirs(dir_id, dx, dy, dz) AS (VALUES {dir_rows}),
+{_sql_bins(BIN_EDGES)},
+passing AS (
+  SELECT dir_id, fd, dist FROM pairs, dirs WHERE {dir_test}
+),
+agg AS (
+  SELECT dir_id, bin_id, sum(fd * fd) AS vsum, count(*) AS cnt
+  FROM passing JOIN bins ON dist >= lo AND dist < hi
+  GROUP BY dir_id, bin_id
+)
+SELECT CAST(d.dir_id AS BIGINT) AS dir_id, CAST(b.bin_id AS BIGINT) AS bin_id,
+       b.lo, b.hi, round({gamma}, 6) AS gamma,
+       CAST(coalesce(cnt, 0) AS BIGINT) AS counts
+FROM dirs d CROSS JOIN bins b
+LEFT JOIN agg ON agg.dir_id = d.dir_id AND agg.bin_id = b.bin_id"""
+
+
 # --- 6-7: structured --------------------------------------------------------
 
 GRID_NX = 100
@@ -1520,6 +1585,10 @@ def registry() -> dict[str, tuple]:
         "variogram_cressie": (q_variogram_cressie, _sql_variogram(BIN_EDGES, "c")),
         "variogram_haversine": (q_variogram_haversine, _sql_variogram_haversine()),
         "variogram_3d": (q_variogram_3d, _sql_variogram_3d()),
+        "variogram_directional_3d": (
+            q_variogram_directional_3d,
+            _sql_variogram_directional_3d(),
+        ),
         "variogram_directional": (
             q_variogram_directional,
             _sql_variogram_directional(DIRECTIONS, ANGLES_TOL, -1.0, False),
