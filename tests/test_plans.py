@@ -58,3 +58,22 @@ def test_whole_stage_codegen_in_aggregation(spark, sf_dir):
     # explain mode reports generated subtrees directly
     p = PL.plan_string(agg, mode="codegen")
     assert "WholeStageCodegen" in p
+
+
+def test_directional_plan_stays_codegen(spark, sf_dir):
+    """Perf regression guard (round-2 fix: 29s → 5.7s at sf0.1): the
+    directional cone tests must compile into the pair stream — no
+    broadcast nested-loop join against a directions table on the pair
+    side (the single BNLJ allowed is the tiny dirs×bins OUTPUT frame) and
+    no interpreted higher-order array functions anywhere."""
+    plan = (
+        V.variogram_directional(
+            _pts(spark, sf_dir), [0.0, 1.0, 2.0], [(1.0, 0.0), (0.0, 1.0)]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "ArrayFilter" not in plan
+    assert "lambdafunction" not in plan.lower()
