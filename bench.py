@@ -170,38 +170,78 @@ QUERIES = {
 HEADLINE = ("variogram", "krige")
 
 
-def main():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
-    names = subset.split(",") if subset else list(QUERIES)
-
+def _run_in_process(names, sf_dir, cpus) -> dict:
+    """Run the named queries in THIS process's JVM; returns name → best s."""
     # local mode shares one JVM heap across "executors": size it so the
-    # pair-join shuffles don't live under constant GC pressure
-    # identical task granularity at every parallelism level (scaling runs
-    # compare local[8] vs local[32]: same partition count → same task sizes)
+    # pair-join shuffles don't live under constant GC pressure; identical
+    # task granularity at every parallelism level (scaling runs compare
+    # local[8] vs local[32]: same partition count → same task sizes)
     spark = get_session(
         "gstools-core-spark-bench",
         cores=cpus,
         shuffle_partitions=64,
         memory_gb=48,
     )
-    n_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-
     times = {}
     for name in names:
         fn = QUERIES[name]
-        reps = 2 if name in HEADLINE else 1  # best-of-2 rides out host bursts
+        # best-of-2 for EVERY query: the first rep in a fresh JVM pays the
+        # Python-worker spin-up for pandas-UDF paths and any cold page
+        # cache; the second measures the plan.  Also rides out host bursts.
+        reps = 2
         best = None
         for _ in range(reps):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-            # successive queries in one local JVM degrade ~2x without this
+            # successive queries in one local JVM degrade without this
             # (fragmented old-gen from the previous query's shuffle buffers)
             spark.sparkContext._jvm.System.gc()
         times[name] = round(best, 3)
+    spark.stop()
+    return times
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = subset.split(",") if subset else list(QUERIES)
+
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1" or len(names) == 1:
+        times = _run_in_process(names, sf_dir, cpus)
+    else:
+        # one FRESH JVM per query: same-JVM degradation across successive
+        # heavy queries measured up to ~7× on the later queries (old-gen
+        # fragmentation System.gc() does not fully reclaim) — per-query
+        # subprocesses make the numbers reflect the plans, not the heap
+        # history.  ~8 s JVM startup per query is outside the timed window.
+        import subprocess
+        import sys as _sys
+
+        times = {}
+        for name in names:
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_BENCH_QUERIES=name,
+                SPARK_GRAFT_BENCH_CHILD="1",
+            )
+            out = subprocess.run(
+                [_sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            times[name] = json.loads(line)["queries"][name]
+
+    import duckdb
+
+    n_rows = duckdb.sql(
+        f"select count(*) from read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
 
     headline = [n for n in HEADLINE if n in times]
     total = sum(times[n] for n in headline) or sum(times.values())
@@ -222,7 +262,6 @@ def main():
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
