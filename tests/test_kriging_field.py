@@ -364,3 +364,34 @@ def test_krige_3d_exact_interpolation(spark):
         assert nc == n  # all cond in the single 4.0-cell ring
         assert abs(m - cv[i]) < 1e-7, (i, m, cv[i])
         assert v < 1e-6
+
+
+def test_summate_field_3d(spark):
+    """Any-dim field summation through Spark == the numpy kernel in 3-D
+    (scalar + incompressible; field.rs is dimension-generic for scalar,
+    2/3-D for incompr)."""
+    n, nm = 150, 30
+    rng = np.random.default_rng(15)
+    x, y, z = (rng.uniform(-5, 5, n) for _ in range(3))
+    rows = [(int(i), float(x[i]), float(y[i]), float(z[i])) for i in range(n)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double, z double")
+    modes = rng.normal(size=(3, nm))
+    z1 = rng.normal(size=nm)
+    z2 = rng.normal(size=nm)
+    pos = np.vstack([x, y, z])
+
+    got = (
+        summate_field(pts, modes, z1, z2, coords=("x", "y", "z"))
+        .orderBy("id")
+        .toPandas()
+    )
+    np.testing.assert_allclose(got["u"], K.summate(modes, z1, z2, pos), rtol=1e-12)
+
+    got_i = (
+        summate_field(pts, modes, z1, z2, coords=("x", "y", "z"), variant="incompr")
+        .orderBy("id")
+        .toPandas()
+    )
+    want = K.summate_incompr(modes, z1, z2, pos)
+    for k in range(3):
+        np.testing.assert_allclose(got_i[f"u_{k}"], want[k], rtol=1e-12)
