@@ -140,6 +140,7 @@ if _HAS_HYPOTHESIS:
     @settings(
         max_examples=8,
         deadline=None,
+        derandomize=True,  # same examples every run — no flaky CI surprises
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     @given(
