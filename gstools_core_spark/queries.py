@@ -1151,6 +1151,37 @@ def _sql_quality_score() -> str:
 FROM documents"""
 
 
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: 64-bit polynomial rolling hash over utf-8
+    bytes (functions/text.fingerprint64, the pipeline layer's content
+    fingerprint).  The vectorized pandas UDF is the engine path; the oracle
+    replays the Horner fold in DuckDB HUGEINT arithmetic (mod 2^64 ≡ numpy
+    uint64 wraparound).  Oracle assumes ASCII text (byte == codepoint —
+    true of the synthetic corpus; the UDF itself handles any utf-8)."""
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", T.fingerprint64(F.col("text")).alias("fp"))
+
+
+# Horner: fold acc = (acc·P + byte) mod 2^64, then one trailing ·P — equals
+# Σ byte_i · P^(n-i), the UDF's formula.  acc < 2^64 and P < 2^41 keep the
+# product < 2^105, inside HUGEINT.  The signed view maps to int64 like numpy.
+SQL_DOC_FINGERPRINT = """WITH h AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS HUGEINT),
+             list_transform(range(1, length(text) + 1),
+                            i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS HUGEINT))),
+           (acc, b) -> (acc * 1099511628211 + b) % 18446744073709551616::HUGEINT
+         ) * 1099511628211 % 18446744073709551616::HUGEINT AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN hv < 9223372036854775808 THEN CAST(hv AS BIGINT)
+            ELSE CAST(hv - 18446744073709551616 AS BIGINT) END AS fp
+FROM h"""
+
+
 # --- 24-25: embedding similarity ----------------------------------------------
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1621,6 +1652,7 @@ def registry() -> dict[str, tuple]:
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
         "lang_id": (q_lang_id, _sql_lang_id()),
         "quality_score": (q_quality_score, _sql_quality_score()),
+        "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
         "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
         "lsh_ann": (q_lsh_ann, _sql_lsh_ann()),

@@ -94,6 +94,24 @@ def test_fingerprint_deterministic(spark):
     assert out[0] != out[2]
 
 
+def test_fingerprint_matches_closed_form(spark):
+    """Pin fingerprint64 = Σ byte_i · P^(n-i) mod 2^64 (signed int64 view)
+    against a pure-Python big-int evaluation, incl. multi-byte utf-8 and
+    the empty-string → 0 convention."""
+    texts = [BASE, OTHER, "", "héllo wörld ☃", "a"]
+    df = _docs(spark, list(enumerate(texts)))
+    out = {r["doc_id"]: r["fp"] for r in df.select("doc_id", T.fingerprint64(F.col("text")).alias("fp")).collect()}
+    P = 1099511628211
+    for i, t in enumerate(texts):
+        data = t.encode("utf-8")
+        h = 0
+        for b in data:
+            h = (h * P + b) % (1 << 64)
+        h = (h * P) % (1 << 64) if data else 0
+        expect = h - (1 << 64) if h >= (1 << 63) else h
+        assert out[i] == expect, t
+
+
 def _emb_df(spark, vecs, id0=0):
     rows = [(id0 + i, [float(x) for x in v]) for i, v in enumerate(vecs)]
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
