@@ -836,6 +836,66 @@ def q_krige_raster(spark, sf_dir):
     )
 
 
+def q_krige_raster_small(spark, sf_dir):
+    """Hash-checked twin of the krige→raster chain: ordinary kriging on the
+    sparse KRIGE_SMALL_MOD conditioning set, restricted to ≤2-point
+    neighborhoods (closed-form-solvable), quantized to integer-valued
+    doubles (floor(est·1e6 + 0.5) — identical op in both engines, and
+    integer sums stay exact < 2^53 regardless of accumulation order), then
+    rasterized into dense 8×8 tile grids.  Output pins the grid's (0,0)
+    cell, exercising the full distributed pipeline: ring-stamp cogroup
+    solve → filter → applyInPandas tile assembly."""
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir)
+    cond = pts.where(F.col("id") % KRIGE_SMALL_MOD == 0)
+    model = GaussianModel(var=1.0, len_scale=2.0, nugget=0.01)
+    kriged = krige(pts, cond, model, radius=3.0, method="ordinary")
+    small = kriged.where(F.col("n_cond") <= 2).select(
+        "x",
+        "y",
+        F.floor(F.col("krige_mean") * 1e6 + 0.5).cast("double").alias("v"),
+    )
+    tiles = S.rasterize_tiles(small, cell_size=1.0, value_col="v", tile_cells=8)
+    g = F.col("grid")[0][0]
+    return tiles.select(
+        "tile_x",
+        "tile_y",
+        "n_points",
+        F.when(~F.isnan(g), F.round(g, 6)).alias("g00"),
+    )
+
+
+def _sql_krige_raster_small() -> str:
+    return f"""WITH {SQL_PTS},
+cond AS (SELECT id, x, y, val FROM pts WHERE id % {KRIGE_SMALL_MOD} = 0),
+{_sql_krige_closed_ctes()},
+small AS (
+  SELECT CAST(floor(t.x / 1.0) AS BIGINT) AS cx,
+         CAST(floor(t.y / 1.0) AS BIGINT) AS cy,
+         floor(coalesce(s.est, 0.0) * 1000000.0 + 0.5) AS v
+  FROM pts t
+  LEFT JOIN solved s ON s.id = t.id
+  LEFT JOIN (SELECT id, count(*) AS nc_all FROM nb GROUP BY id) f ON f.id = t.id
+  WHERE coalesce(f.nc_all, 0) <= 2
+),
+tiled AS (
+  SELECT CAST(floor(cx / 8.0) AS BIGINT) AS tile_x,
+         CAST(floor(cy / 8.0) AS BIGINT) AS tile_y, cx, cy, v
+  FROM small
+),
+agg AS (
+  SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS n_points
+  FROM tiled GROUP BY tile_x, tile_y
+),
+g AS (
+  SELECT tile_x, tile_y, round(sum(v) / count(*), 6) AS g00
+  FROM tiled WHERE cx = tile_x * 8 AND cy = tile_y * 8
+  GROUP BY tile_x, tile_y
+)
+SELECT a.tile_x, a.tile_y, a.n_points, g.g00
+FROM agg a LEFT JOIN g ON g.tile_x = a.tile_x AND g.tile_y = a.tile_y"""
+
+
 # --- 14-16: field summation --------------------------------------------------
 
 def _modes_sql_values(with_sf: bool = False, with_proj: bool = False) -> str:
@@ -1641,6 +1701,7 @@ def registry() -> dict[str, tuple]:
         "cond_field_small": (q_cond_field_small, _sql_cond_field_small()),
         "krige_universal": (q_krige_universal, None),
         "krige_raster": (q_krige_raster, None),
+        "krige_raster_small": (q_krige_raster_small, _sql_krige_raster_small()),
         "summate": (q_summate, _sql_summate("scalar")),
         "summate_fourier": (q_summate_fourier, _sql_summate("fourier")),
         "summate_incompr": (q_summate_incompr, _sql_summate("incompr")),
