@@ -107,6 +107,50 @@ def stateful_user_sessions(
     return spark.table(sink)
 
 
+def streaming_dedup(
+    spark: SparkSession,
+    events_path: str,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` on ``keys``.
+
+    The web-pipeline duplicate-delivery case: an at-least-once upstream
+    (crawler re-fetch, queue redelivery) emits the same event twice; state
+    keeps each key only while it can still recur (bounded by the watermark),
+    so state size is O(arrival rate × watermark), not O(corpus) — the
+    property that makes dedup runnable as a continuous job instead of a
+    periodic batch distinct.  In availableNow catch-up mode over a bounded
+    input the emitted set equals the batch ``dropDuplicates(keys)`` modulo
+    which duplicate survives (first arrival wins here).
+    """
+    static = spark.read.parquet(events_path)
+    p = Path(events_path)
+    if p.is_file():
+        d = Path(tempfile.mkdtemp(prefix="stream_src_"))
+        (d / p.name).symlink_to(p)
+        events_path = str(d)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+    sink = f"events_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def windowed_event_stats(
     spark: SparkSession,
     events_path: str,

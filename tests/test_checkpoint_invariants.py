@@ -121,6 +121,31 @@ def test_streaming_windowed_matches_batch(spark, sf_dir):
     assert g == b
 
 
+def test_streaming_dedup_drops_redelivered(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over an at-least-once source: the same
+    events delivered twice (two source files) come out exactly once, equal
+    to the batch distinct-by-key set."""
+    import shutil
+
+    from gstools_core_spark.streaming.events import streaming_dedup
+
+    src = tmp_path / "dup_events"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
+
+    got = streaming_dedup(spark, str(src), keys=("event_id",))
+    n_src = spark.read.parquet(str(src)).count()
+    batch_ids = {
+        r["event_id"]
+        for r in spark.read.parquet(str(src)).select("event_id").distinct().collect()
+    }
+    got_ids = [r["event_id"] for r in got.select("event_id").collect()]
+    assert n_src == 2 * len(batch_ids)  # the source really is duplicated
+    assert len(got_ids) == len(set(got_ids))  # no duplicate survives
+    assert set(got_ids) == batch_ids
+
+
 def test_stateful_streaming_sessions(spark, sf_dir):
     """applyInPandasWithState sessionization == batch-computed closed
     sessions (the open tail session per user stays in state)."""
