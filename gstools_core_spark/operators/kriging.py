@@ -60,6 +60,14 @@ def _ring_stamp(df: DataFrame, radius: float, coords: Sequence[str]) -> DataFram
     return out.drop(*[f"_c{k}" for k in range(d)], "_off")
 
 
+def _solve1(A: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Square solve with minimum-norm lstsq fallback for singular systems."""
+    try:
+        return np.linalg.solve(A, y)
+    except np.linalg.LinAlgError:
+        return np.linalg.lstsq(A, y, rcond=None)[0]
+
+
 def _pairwise_dist(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """(na, d) × (nb, d) → (na, nb) Euclid; 2-D keeps np.hypot (bitwise
     parity with the original 2-D implementation and its golden tests)."""
@@ -81,6 +89,7 @@ def krige(
     mean: float = 0.0,
     max_cond: int = 512,
     drift_order: int = 1,
+    knn: int | None = None,
 ) -> DataFrame:
     """Krige ``cond`` onto ``targets`` → (id, <coords…>, krige_mean,
     krige_var, n_cond).  Any dimension (``coords`` of length d — blocking
@@ -97,6 +106,16 @@ def krige(
     points fall back to the prior (mean, sill).  Neighborhoods are capped
     at ``max_cond`` points (nearest to the cell center) to bound the
     per-cell solve.
+
+    ``knn`` — per-target MOVING-WINDOW kriging: each target is solved with
+    its own ``knn`` nearest conditioning points within ``radius`` (rank
+    ties broken by coordinates ascending — deterministic under shuffle
+    reordering), one batched ``np.linalg.solve`` per (cell, neighborhood-
+    size) group instead of one shared per-cell neighborhood.  ``knn=None``
+    keeps the per-cell shared neighborhood (all ring points, ``max_cond``-
+    capped) — cheaper, but an approximation the moving window removes.
+    Ranking distances use explicit mul/add/sqrt (not np.hypot) so rank
+    order is bitwise-reproducible against the SQL oracle.
     """
     import itertools
 
@@ -221,10 +240,90 @@ def krige(
             }
         )
 
+    def drift_basis_b(P: np.ndarray) -> np.ndarray:  # (m, n, d) → (m, nd, n)
+        m, n, _ = P.shape
+        rows = [np.ones((m, n))]
+        if n_drift_order >= 1:
+            rows += [P[:, :, kk] for kk in range(d)]
+        if n_drift_order >= 2:
+            rows += [P[:, :, i] * P[:, :, j] for i in range(d) for j in range(i, d)]
+        return np.stack(rows, axis=1)
+
+    def solve_cell_knn(key, t_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        if t_pdf.empty:
+            return pd.DataFrame(
+                columns=["tid", *t_cols, "krige_mean", "krige_var", "n_cond"]
+            )
+        T = t_pdf[t_cols].to_numpy(np.float64)
+        nt = len(T)
+        base = {"tid": t_pdf["tid"]}
+        for kk, tc in enumerate(t_cols):
+            base[tc] = T[:, kk]
+        est = np.full(nt, mu)
+        kvar = np.full(nt, sill)
+        ncond = np.zeros(nt, dtype=np.int64)
+        if not c_pdf.empty:
+            C_pts = c_pdf[c_cols].to_numpy(np.float64)
+            cv = c_pdf["cval"].to_numpy(np.float64)
+            # canonical cond order (coords ascending): stable argsort then
+            # breaks distance ties by coordinates, not by shuffle arrival
+            order = np.lexsort(tuple(C_pts[:, kk] for kk in range(d - 1, -1, -1)))
+            C_pts, cv = C_pts[order], cv[order]
+            # explicit mul/add/sqrt — bitwise == the SQL oracle's distance
+            diff = C_pts[:, None, :] - T[None, :, :]
+            dxt = np.sqrt(np.sum(diff * diff, axis=2))  # (nc, nt)
+            masked = np.where(dxt <= radius, dxt, np.inf)
+            sel = np.argsort(masked, axis=0, kind="stable")[:knn]  # (≤knn, nt)
+            counts = np.minimum((masked < np.inf).sum(axis=0), knn)
+            Cxx = mcov(_pairwise_dist(C_pts, C_pts))  # shared, nugget added per batch
+            Vf = mcov(dxt)  # (nc, nt)
+            for q in np.unique(counts):
+                if q == 0:
+                    continue
+                S = np.nonzero(counts == q)[0]
+                idx = sel[:q, S].T  # (m, q) neighbor indices per target
+                C_b = Cxx[idx[:, :, None], idx[:, None, :]] + nugget * np.eye(q)
+                V_b = Vf[idx, S[:, None]]  # (m, q)
+                v_b = cv[idx]  # (m, q)
+                if simple:
+                    try:
+                        W = np.linalg.solve(C_b, V_b[:, :, None])[:, :, 0]
+                    except np.linalg.LinAlgError:
+                        W = np.stack([_solve1(A, y) for A, y in zip(C_b, V_b)])
+                    est[S] = np.einsum("mq,mq->m", W, v_b - mu) + mu
+                    kvar[S] = np.maximum(sill - np.einsum("mq,mq->m", W, V_b), 0.0)
+                else:
+                    Fd_b = drift_basis_b(C_pts[idx])  # (m, nd, q)
+                    Ft_b = drift_basis(T[S]).T  # (m, nd)
+                    ndr = Fd_b.shape[1]
+                    m = len(S)
+                    A_b = np.zeros((m, q + ndr, q + ndr))
+                    A_b[:, :q, :q] = C_b
+                    A_b[:, q:, :q] = Fd_b
+                    A_b[:, :q, q:] = np.transpose(Fd_b, (0, 2, 1))
+                    B_b = np.concatenate([V_b, Ft_b], axis=1)[:, :, None]
+                    try:
+                        W = np.linalg.solve(A_b, B_b)[:, :, 0]
+                    except np.linalg.LinAlgError:
+                        # only the singular items take the lstsq path (e.g.
+                        # universal with fewer neighbors than drift fns)
+                        W = np.stack([_solve1(A, y[:, 0]) for A, y in zip(A_b, B_b)])
+                    est[S] = np.einsum("mq,mq->m", W[:, :q], v_b)
+                    kvar[S] = np.maximum(
+                        sill
+                        - np.einsum("mq,mq->m", W[:, :q], V_b)
+                        - np.einsum("mn,mn->m", W[:, q:], Ft_b),
+                        0.0,
+                    )
+                ncond[S] = q
+        return pd.DataFrame(
+            {**base, "krige_mean": est, "krige_var": kvar, "n_cond": ncond}
+        )
+
     out = (
         t.groupBy(*jkeys)
         .cogroup(c.groupBy(*jkeys))
-        .applyInPandas(solve_cell, out_schema)
+        .applyInPandas(solve_cell_knn if knn is not None else solve_cell, out_schema)
     )
     return out.select(
         F.col("tid").alias(target_id),

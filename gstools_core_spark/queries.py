@@ -685,7 +685,7 @@ def q_krige_small(spark, sf_dir):
     )
 
 
-def _sql_krige_closed_ctes() -> str:
+def _sql_krige_closed_ctes(knn2: bool = False) -> str:
     """Shared CTE chain: given `pts` (targets) and `cond` (id,x,y,val),
     produce `nb` (ring neighborhoods, radius 3.0) and `solved` (closed-form
     ordinary-kriging est/kvar for nc in {1,2}).  Closed forms
@@ -693,7 +693,12 @@ def _sql_krige_closed_ctes() -> str:
     nc=1 -> w=1, mu=c1-sigma: est=z1, var=2*sigma-2*c1;
     nc=2 -> r=(c1-c2)/(sigma-c12), w1=(1+r)/2, w2=(1-r)/2,
     mu=c1-w1*sigma-w2*c12.  LAPACK vs analytic agree to << 1e-6, so
-    round(...,6) hash-matches."""
+    round(...,6) hash-matches.
+
+    ``knn2``: moving-window semantics — neighborhoods are the 2 NEAREST
+    cond points with dist <= 3.0 (rank ties by (px, py) ascending, the
+    operator's canonical order), so EVERY target is closed-form solvable,
+    not only the sparse-cond ones."""
     sig = 1.01
     cov = "exp(-((({d}) / 2.0) * (({d}) / 2.0)))"
     d_t = "sqrt((x - px{i}) * (x - px{i}) + (y - py{i}) * (y - py{i}))"
@@ -701,20 +706,35 @@ def _sql_krige_closed_ctes() -> str:
     c2 = cov.format(d=d_t.format(i=2))
     d12 = "sqrt((px1 - px2) * (px1 - px2) + (py1 - py2) * (py1 - py2))"
     c12 = cov.format(d=d12)
-    return f"""tc AS (SELECT id, x, y,
-              CAST(floor(x / 3.0) AS BIGINT) AS cx,
-              CAST(floor(y / 3.0) AS BIGINT) AS cy FROM pts),
-cc AS (SELECT id, x, y, val,
-              CAST(floor(x / 3.0) AS BIGINT) AS cx,
-              CAST(floor(y / 3.0) AS BIGINT) AS cy FROM cond),
-nb AS (
+    dist = "sqrt((t.x - c.x) * (t.x - c.x) + (t.y - c.y) * (t.y - c.y))"
+    if knn2:
+        nb_ranked = f"""nb0 AS (
+  SELECT t.id, t.x, t.y, c.x AS px, c.y AS py, c.val AS pv, {dist} AS dist
+  FROM tc t JOIN cc c ON abs(t.cx - c.cx) <= 1 AND abs(t.cy - c.cy) <= 1
+),
+nb AS (SELECT * FROM nb0 WHERE dist <= 3.0),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, px, py) AS rn
+  FROM nb
+)"""
+        piv_src = "ranked WHERE rn <= 2"
+    else:
+        nb_ranked = """nb AS (
   SELECT t.id, t.x, t.y, c.x AS px, c.y AS py, c.val AS pv
   FROM tc t JOIN cc c ON abs(t.cx - c.cx) <= 1 AND abs(t.cy - c.cy) <= 1
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY id ORDER BY pv, px, py) AS rn
   FROM nb
-),
+)"""
+        piv_src = "ranked"
+    return f"""tc AS (SELECT id, x, y,
+              CAST(floor(x / 3.0) AS BIGINT) AS cx,
+              CAST(floor(y / 3.0) AS BIGINT) AS cy FROM pts),
+cc AS (SELECT id, x, y, val,
+              CAST(floor(x / 3.0) AS BIGINT) AS cx,
+              CAST(floor(y / 3.0) AS BIGINT) AS cy FROM cond),
+{nb_ranked},
 piv AS (
   SELECT id, x, y, count(*) AS nc,
          max(CASE WHEN rn = 1 THEN px END) AS px1,
@@ -723,7 +743,7 @@ piv AS (
          max(CASE WHEN rn = 2 THEN px END) AS px2,
          max(CASE WHEN rn = 2 THEN py END) AS py2,
          max(CASE WHEN rn = 2 THEN pv END) AS pv2
-  FROM ranked GROUP BY id, x, y
+  FROM {piv_src} GROUP BY id, x, y
 ),
 solved AS (
   SELECT p.id, nc,
@@ -757,6 +777,37 @@ FROM pts t
 LEFT JOIN solved s ON s.id = t.id
 LEFT JOIN (SELECT id, count(*) AS nc_all FROM nb GROUP BY id) f ON f.id = t.id
 WHERE coalesce(f.nc_all, 0) <= 2"""
+
+
+def q_krige_knn_small(spark, sf_dir):
+    """Moving-window kriging hash-checked over EVERY target: knn=2 caps
+    each target's neighborhood at its 2 nearest in-radius conditioning
+    points, so the whole output (selection + bordered solve + prior
+    fallback) is closed-form replayable — with a DENSE cond set (id % 11),
+    unlike krige_small's sparse one, the per-target nearest-2 ranking is
+    exercised on crowded neighborhoods."""
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir)
+    cond = pts.where(F.col("id") % 11 == 0)
+    model = GaussianModel(var=1.0, len_scale=2.0, nugget=0.01)
+    out = krige(pts, cond, model, radius=3.0, method="ordinary", knn=2)
+    return out.select(
+        "id",
+        F.round("krige_mean", 6).alias("krige_mean"),
+        F.round("krige_var", 6).alias("krige_var"),
+        "n_cond",
+    )
+
+
+def _sql_krige_knn_small() -> str:
+    return f"""WITH {SQL_PTS},
+cond AS (SELECT id, x, y, val FROM pts WHERE id % 11 = 0),
+{_sql_krige_closed_ctes(knn2=True)}
+SELECT t.id,
+       round(coalesce(s.est, 0.0), 6) AS krige_mean,
+       round(coalesce(s.kvar, 1.01), 6) AS krige_var,
+       CAST(coalesce(s.nc, 0) AS BIGINT) AS n_cond
+FROM pts t LEFT JOIN solved s ON s.id = t.id"""
 
 
 def q_cond_field_small(spark, sf_dir):
@@ -1698,6 +1749,7 @@ def registry() -> dict[str, tuple]:
         "rasterize": (q_rasterize, _sql_rasterize()),
         "krige_ordinary": (q_krige_ordinary, None),
         "krige_small": (q_krige_small, _sql_krige_small()),
+        "krige_knn_small": (q_krige_knn_small, _sql_krige_knn_small()),
         "cond_field_small": (q_cond_field_small, _sql_cond_field_small()),
         "krige_universal": (q_krige_universal, None),
         "krige_raster": (q_krige_raster, None),

@@ -82,6 +82,95 @@ def test_krige_simple_and_ordinary(spark):
         np.testing.assert_allclose(got["krige_var"], want_var, rtol=1e-8, atol=1e-10)
 
 
+def _local_krige_knn(model, method, mean, tx, ty, cx, cy, cv, radius, k):
+    """Brute-force moving-window reference: per target, the k nearest
+    in-radius cond points (ties by (x, y) ascending), one bordered solve."""
+    out_mean = np.empty(len(tx))
+    out_var = np.empty(len(tx))
+    for t in range(len(tx)):
+        dist = np.sqrt((cx - tx[t]) ** 2 + (cy - ty[t]) ** 2)
+        cand = np.nonzero(dist <= radius)[0]
+        if len(cand) == 0:
+            out_mean[t], out_var[t] = mean, model.sill
+            continue
+        order = np.lexsort((cy[cand], cx[cand], dist[cand]))[:k]
+        idx = cand[order]
+        sx, sy, sv = cx[idx], cy[idx], cv[idx]
+        nc = len(idx)
+        C = model.cov(
+            np.hypot(sx[:, None] - sx[None, :], sy[:, None] - sy[None, :])
+        ) + model.nugget * np.eye(nc)
+        V = model.cov(np.hypot(sx - tx[t], sy - ty[t]))
+        if method == "simple":
+            w = np.linalg.solve(C, V)
+            out_mean[t] = w @ (sv - mean) + mean
+            out_var[t] = max(model.sill - w @ V, 0.0)
+        else:
+            drift = [np.ones(nc)]
+            driftT = [np.ones(1)]
+            if method == "universal":
+                drift += [sx, sy]
+                driftT += [np.array([tx[t]]), np.array([ty[t]])]
+            Fd = np.stack(drift)
+            Ft = np.stack(driftT)[:, 0]
+            nd = Fd.shape[0]
+            A = np.zeros((nc + nd, nc + nd))
+            A[:nc, :nc] = C
+            A[nc:, :nc] = Fd
+            A[:nc, nc:] = Fd.T
+            B = np.concatenate([V, Ft])
+            try:
+                W = np.linalg.solve(A, B)
+            except np.linalg.LinAlgError:
+                W = np.linalg.lstsq(A, B, rcond=None)[0]
+            out_mean[t] = W[:nc] @ sv
+            out_var[t] = max(model.sill - W[:nc] @ V - W[nc:] @ Ft, 0.0)
+    return out_mean, out_var
+
+
+def test_krige_knn_matches_bruteforce(spark):
+    n_cond, n_targ = 60, 80
+    cx = RNG.uniform(-10, 10, n_cond)
+    cy = RNG.uniform(-10, 10, n_cond)
+    cv = np.sin(cx * 0.3) + np.cos(cy * 0.2) + RNG.normal(0, 0.1, n_cond)
+    tx = RNG.uniform(-10, 10, n_targ)
+    ty = RNG.uniform(-10, 10, n_targ)
+    cond = _df(spark, range(n_cond), cx, cy, cv)
+    targets = _df(spark, range(n_targ), tx, ty)
+    model = GaussianModel(var=1.0, len_scale=3.0, nugget=0.01)
+
+    for method, mean in [("simple", 0.5), ("ordinary", 0.0), ("universal", 0.0)]:
+        got = (
+            krige(targets, cond, model, radius=5.0, method=method, mean=mean, knn=8)
+            .orderBy("id")
+            .toPandas()
+        )
+        want_mean, want_var = _local_krige_knn(
+            model, method, mean, tx, ty, cx, cy, cv, radius=5.0, k=8
+        )
+        np.testing.assert_allclose(got["krige_mean"], want_mean, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(got["krige_var"], want_var, rtol=1e-8, atol=1e-10)
+        assert (got["n_cond"] <= 8).all() and (got["n_cond"] > 0).any()
+
+
+def test_krige_knn_tie_break_and_exactness(spark):
+    # two cond points exactly equidistant from the target: k=1 must pick the
+    # coordinate-ascending one regardless of shuffle order
+    cond = _df(spark, [0, 1], [1.0, -1.0], [0.0, 0.0], [10.0, 20.0])
+    targets = _df(spark, [0, 1], [0.0, -1.0], [0.0, 0.0])
+    model = GaussianModel(var=1.0, len_scale=2.0, nugget=0.0)
+    got = {
+        r["id"]: r
+        for r in krige(
+            targets, cond, model, radius=3.0, method="ordinary", knn=1
+        ).collect()
+    }
+    assert got[0]["krige_mean"] == 20.0  # tie broken toward x=-1
+    # exact interpolation at a conditioning location with zero nugget
+    assert abs(got[1]["krige_mean"] - 20.0) < 1e-10
+    assert got[1]["krige_var"] < 1e-10
+
+
 def test_krige_empty_neighborhood_prior(spark):
     cond = _df(spark, [0], [100.0], [100.0], [5.0])
     targets = _df(spark, [0], [0.0], [0.0])
