@@ -224,40 +224,71 @@ def simhash_near_dups(
     sim_col: str = "simhash",
     max_hamming: int = 3,
     n_bands: int | None = None,
+    key_blocks: int = 1,
 ) -> DataFrame:
     """ALL pairs within Hamming distance ≤ max_hamming via banding + exact
     popcount verify → (a_id, b_id, hamming).
 
     Soundness (pigeonhole): a pair with ≤ max_hamming mismatched bits over
-    ``n_bands`` disjoint bands must agree on ≥ n_bands − max_hamming ≥ 1
-    band, so candidates from per-band equality are a SUPERSET of the true
-    pairs — which requires ``n_bands > max_hamming``.  Default n_bands =
-    max_hamming + 1; anything smaller raises (the round-1 bug: 4 bands with
-    max_hamming=16 silently missed spread-out mismatches).
+    ``n_bands`` disjoint blocks keeps ≥ n_bands − max_hamming blocks
+    intact; as long as that is ≥ ``key_blocks``, SOME size-``key_blocks``
+    combination of blocks is fully intact, so keying every combination
+    yields a candidate SUPERSET of the true pairs.  Requires
+    ``n_bands − max_hamming ≥ key_blocks`` (anything less raises — the
+    round-1 bug: 4 bands with max_hamming=16 silently missed spread-out
+    mismatches).  Default n_bands = max_hamming + 1, key_blocks = 1.
 
-    Scale note: width-per-band = 64/n_bands bits, so large max_hamming ⇒
-    narrow bands ⇒ populous buckets ⇒ quadratic in-bucket work.  Keep
-    max_hamming small at corpus scale (web dedup uses ≤ 3-8), or pre-split
-    buckets by a cheap doc attribute.
+    Scale note (Manku et al., WWW'07 combination banding): with single-
+    block keys the bucket space is only 2^(64/n_bands) — at web scale the
+    in-bucket pairing turns quadratic.  ``key_blocks = s > 1`` concatenates
+    every s-subset of blocks into one key of ~s·64/n_bands bits:
+    C(n_bands, s) × wider buckets trades explode fan-out for an
+    exponentially larger key space (e.g. max_hamming=3, n_bands=6, s=3 →
+    20 bands of ~32-bit keys instead of 4 bands of 16-bit keys).  For
+    max_hamming ≳ 16 over 64 bits no banding keeps wide keys — use a
+    smaller radius or pre-split buckets by a cheap doc attribute.
     """
+    import itertools
+    import math
+
     if n_bands is None:
-        n_bands = max_hamming + 1
-    if n_bands <= max_hamming:
+        n_bands = max_hamming + key_blocks
+    if key_blocks < 1:
+        raise ValueError("key_blocks must be >= 1")
+    if n_bands - max_hamming < key_blocks:
         raise ValueError(
-            f"n_bands ({n_bands}) must exceed max_hamming ({max_hamming}) — "
-            "pigeonhole recall guarantee would be violated"
+            f"n_bands ({n_bands}) must be >= max_hamming ({max_hamming}) + "
+            f"key_blocks ({key_blocks}) — pigeonhole recall guarantee would "
+            "be violated"
         )
     if n_bands > 64:
         raise ValueError("n_bands must be <= 64 (64-bit simhash)")
+    n_combos = math.comb(n_bands, key_blocks)
+    if n_combos > 1024:
+        raise ValueError(
+            f"C({n_bands}, {key_blocks}) = {n_combos} band combinations — "
+            "explode fan-out too large; lower key_blocks or n_bands"
+        )
+    widths = simhash_band_widths(n_bands)
+
+    def block(off: int, w: int) -> Column:
+        return F.shiftrightunsigned(F.col(sim_col), off).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+
+    def combo_key(combo: tuple[int, ...]) -> Column:
+        key = block(*widths[combo[0]])
+        for b in combo[1:]:
+            off, w = widths[b]
+            key = F.shiftleft(key, w).bitwiseOR(block(off, w))
+        return key
+
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col(sim_col), off)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .alias("bucket"),
+            F.struct(F.lit(i).alias("band"), combo_key(combo).alias("bucket"))
+            for i, combo in enumerate(
+                itertools.combinations(range(n_bands), key_blocks)
             )
-            for b, (off, w) in enumerate(simhash_band_widths(n_bands))
         ]
     )
     from gstools_core_spark.operators.cache import track

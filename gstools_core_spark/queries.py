@@ -1173,7 +1173,22 @@ def q_simhash_neardup(spark, sf_dir):
     return out.select("a_id", "b_id", "hamming")
 
 
-def _sql_simhash_neardup() -> str:
+def q_simhash_neardup_wide(spark, sf_dir):
+    """SimHash near-dups through COMBINATION banding (Manku WWW'07): the
+    web-scale radius (≤4 bits) keyed on C(6,2)=15 two-block combinations
+    of ~21-bit keys instead of 5 single ~13-bit blocks — exponentially
+    larger bucket space, same pigeonhole recall guarantee, verified here
+    against the brute-force all-pairs popcount oracle."""
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashed = DD.simhash64(docs, "text")
+    out = DD.simhash_near_dups(
+        hashed, "doc_id", max_hamming=4, n_bands=6, key_blocks=2
+    )
+    return out.select("a_id", "b_id", "hamming")
+
+
+def _sql_simhash_neardup(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
     """Brute-force all-pairs spec: simhash64 per doc (bits 0..59 from h1,
     60..63 from h2, exactly as dedup.simhash64), popcount(xor) ≤ max.  Bit 63
     can't be built with << 63 in DuckDB (overflow error) — OR in the sign
@@ -1201,7 +1216,7 @@ simh AS (SELECT doc_id, {bits} | {bit63} AS sim FROM bs)
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
 FROM simh a JOIN simh b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sim, b.sim)) <= {SIMHASH_MAX_HAMMING}"""
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}"""
 
 
 # --- 21-23: text analysis -----------------------------------------------------
@@ -1762,6 +1777,7 @@ def registry() -> dict[str, tuple]:
         "ngram_jaccard_capped": (q_ngram_jaccard_capped, _sql_ngram_jaccard_capped()),
         "minhash_dedup": (q_minhash_dedup, _sql_minhash_dedup()),
         "simhash_neardup": (q_simhash_neardup, _sql_simhash_neardup()),
+        "simhash_neardup_wide": (q_simhash_neardup_wide, _sql_simhash_neardup(4)),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
         "lang_id": (q_lang_id, _sql_lang_id()),
         "quality_score": (q_quality_score, _sql_quality_score()),

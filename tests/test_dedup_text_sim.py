@@ -192,6 +192,62 @@ def test_simhash_pigeonhole_spread_mismatches(spark):
         DD.simhash_near_dups(df, "doc_id", max_hamming=16, n_bands=4)
 
 
+def test_simhash_combination_banding_worst_case(spark):
+    """Combination banding (key_blocks=2 over 6 blocks, max_hamming=4):
+    dirty 4 DIFFERENT blocks so only one 2-block combination stays intact —
+    the pair must still surface; one block fewer violates pigeonhole and
+    raises."""
+    import pytest
+
+    widths = DD.simhash_band_widths(6)
+    sim_b = 0
+    for b in range(4):  # one flipped bit in each of blocks 0..3
+        sim_b |= 1 << widths[b][0]
+    df = spark.createDataFrame([(0, 0), (1, sim_b)], "doc_id long, simhash long")
+    out = DD.simhash_near_dups(
+        df, "doc_id", max_hamming=4, n_bands=6, key_blocks=2
+    ).collect()
+    assert len(out) == 1 and out[0]["hamming"] == 4
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DD.simhash_near_dups(df, "doc_id", max_hamming=4, n_bands=5, key_blocks=2)
+
+
+def _to_i64(v: int) -> int:
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_simhash_combination_banding_matches_bruteforce(spark):
+    """Wide-key banding returns EXACTLY the all-pairs popcount ≤ 4 set
+    (superset candidates + exact verify ⇒ no false positives, pigeonhole ⇒
+    no false negatives) on a corpus seeded with ≤4-bit perturbed copies."""
+    rng = np.random.default_rng(7)
+    sims = [int(v) for v in rng.integers(-(2**63), 2**63, size=40, dtype=np.int64)]
+    for i in range(15):
+        v = sims[i]
+        for b in rng.choice(64, size=int(rng.integers(1, 5)), replace=False):
+            v ^= 1 << int(b)
+        sims.append(_to_i64(v))
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sims)], "doc_id long, simhash long"
+    )
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in DD.simhash_near_dups(
+            df, "doc_id", max_hamming=4, n_bands=6, key_blocks=2
+        ).collect()
+    }
+    want = set()
+    for i in range(len(sims)):
+        for j in range(i + 1, len(sims)):
+            h = bin((sims[i] ^ sims[j]) & ((1 << 64) - 1)).count("1")
+            if h <= 4:
+                want.add((i, j, h))
+    assert got == want
+    assert len(want) >= 10
+
+
 def test_simhash_sign_bit_pair(spark):
     """Pairs differing in bit 63 (the sign bit) still verify correctly."""
     df = spark.createDataFrame(
