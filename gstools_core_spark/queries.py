@@ -1057,6 +1057,43 @@ JOIN sizes sb ON sb.doc_id = b_id
 WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {NGRAM_TAU!r}"""
 
 
+def q_dedup_components(spark, sf_dir):
+    """Dedup-cluster resolution: the n-gram similarity pairs form a graph;
+    every document gets the smallest doc_id of its CONNECTED COMPONENT
+    (transitive near-duplicate closure — the web-scale contract, vs
+    minhash_dedup's single-pass pair canonicalization).  Spark side runs
+    alternating large-star/small-star contraction (operators/graph.py);
+    the oracle replays it as a recursive-CTE reachability closure."""
+    from gstools_core_spark.operators.graph import connected_components
+
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=NGRAM_K, threshold=NGRAM_TAU
+    )
+    comp = connected_components(pairs, "a_id", "b_id")
+    return docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+
+
+def _sql_dedup_components() -> str:
+    return f"""WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ({_sql_ngram_jaccard()})
+),
+und AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id AS u, a_id AS v FROM pairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.r
+)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY id"""
+
+
 NGRAM_MAX_DF = 25
 
 
@@ -1775,6 +1812,7 @@ def registry() -> dict[str, tuple]:
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
         "ngram_jaccard_capped": (q_ngram_jaccard_capped, _sql_ngram_jaccard_capped()),
+        "dedup_components": (q_dedup_components, _sql_dedup_components()),
         "minhash_dedup": (q_minhash_dedup, _sql_minhash_dedup()),
         "simhash_neardup": (q_simhash_neardup, _sql_simhash_neardup()),
         "simhash_neardup_wide": (q_simhash_neardup_wide, _sql_simhash_neardup(4)),
