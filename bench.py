@@ -92,6 +92,18 @@ def bench_krige(spark, sf_dir):
     )
 
 
+def bench_krige_knn(spark, sf_dir):
+    """Per-target moving-window kriging (knn=16): the exact-neighborhood
+    path — more solves than the shared per-cell neighborhood, bounded at
+    16+1 unknowns each, batched per (cell, size) group."""
+    pts = _event_points(spark, sf_dir)
+    cond = pts.where(F.col("id") % (2 if HEAVY else 10) == 0)
+    model = GaussianModel(var=1.0, len_scale=0.3, nugget=0.01)
+    return krige(
+        pts, cond, model, radius=BENCH_RADIUS, method="ordinary", knn=16
+    )
+
+
 def bench_knn(spark, sf_dir):
     pts = _event_points(spark, sf_dir)
     q = pts.where(F.col("id") % 10 == 0)
@@ -158,6 +170,7 @@ QUERIES = {
     "variogram": bench_variogram,
     "krige": bench_krige,
     "variogram_directional": bench_variogram_directional,
+    "krige_knn": bench_krige_knn,
     "knn": bench_knn,
     "summate": bench_summate,
     "pages_tiles": bench_pages_tiles,
