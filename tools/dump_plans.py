@@ -44,11 +44,25 @@ def main():
         "krige ordinary (cogroup applyInPandas per cell)":
             krige(pts, pts.where(F.col("id") % 5 == 0),
                   GaussianModel(1.0, 2.0, 0.01), radius=3.0),
+        "krige moving-window (knn=8: same cogroup shape, per-target batched solves)":
+            krige(pts, pts.where(F.col("id") % 5 == 0),
+                  GaussianModel(1.0, 2.0, 0.01), radius=3.0, knn=8),
         "filter pushdown + column pruning (lineitem scan)":
             spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
             .where(F.col("l_quantity") < 5.0)
             .select("l_orderkey", "l_quantity"),
     }
+
+    # one star-contraction round of connected components (the iterative op:
+    # window-min + projection per round, localCheckpoint truncates lineage)
+    from gstools_core_spark.operators.graph import _large_star, _small_star
+
+    edges = pts.where(F.col("id") % 7 == 0).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    sections["connected components (ONE large-star+small-star round)"] = (
+        _small_star(_large_star(edges))
+    )
 
     out = ["# PLANS — physical plans of the headline operators", ""]
     for title, df in sections.items():
