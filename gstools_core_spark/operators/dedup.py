@@ -71,18 +71,29 @@ def minhash_signature(
         F.col("shingles"), lambda s: F.pmod(_str_hash(s, hash_fn), F.lit(_MH_PRIME))
     )
     base = base.withColumn("_sh_hash", hashed)
-    sig = F.array(
+    # ONE nested transform over a literal (a_i, b_i) params array — NOT one
+    # F.transform per i: PySpark 4.1 collapses same-shaped higher-order
+    # lambdas that differ only in captured literals to the FIRST lambda
+    # (subexpression elimination over namedlambdavariables), which silently
+    # turned all num_hashes rows into copies of row 0 (degenerate
+    # signatures, massive LSH recall loss).  Pinned by
+    # test_minhash_signature_rows_are_distinct.
+    params = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("_sh_hash"),
-                    lambda h, i=i: F.pmod(
-                        h * F.lit(2 * i + 1) + F.lit(7 * i + 3), F.lit(_MH_PRIME)
-                    ),
-                )
+            F.struct(
+                F.lit(2 * i + 1).alias("a"), F.lit(7 * i + 3).alias("b")
             )
             for i in range(num_hashes)
         ]
+    )
+    sig = F.transform(
+        params,
+        lambda p: F.array_min(
+            F.transform(
+                F.col("_sh_hash"),
+                lambda h: F.pmod(h * p["a"] + p["b"], F.lit(_MH_PRIME)),
+            )
+        ),
     )
     return base.withColumn("signature", sig).drop("_sh_hash")
 
@@ -154,10 +165,18 @@ def minhash_dedup(
     bands: int = 8,
     shingle_k: int = 5,
     hash_fn: str = "portable",
+    transitive: bool = False,
 ) -> DataFrame:
     """Near-dup removal: a doc is dropped if it verifies ≥threshold Jaccard
     against any candidate with a smaller id (single-pass canonicalization —
-    the standard web-dedup contract, not full connected components)."""
+    the standard web-dedup contract).
+
+    ``transitive=True`` resolves the verified-pair graph to CONNECTED
+    COMPONENTS first (operators/graph.py star contraction) and keeps only
+    each component's minimum id: docs similar only THROUGH an intermediate
+    (A~C, B~C, A≁B) collapse to one survivor instead of two.  Costs
+    O(log²) extra rounds over the (small) duplicate-pair edge list only —
+    the corpus-sized tables are untouched."""
     from gstools_core_spark.operators.cache import track
 
     # persist the signature table: the band self-join and the verify join
@@ -166,11 +185,17 @@ def minhash_dedup(
     # materialized signatures table.  Tracked for cache.clear_tracked().
     sigs = track(minhash_signature(df, text_col, num_hashes, shingle_k, hash_fn).persist())
     cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands, hash_fn)
-    dups = (
-        jaccard_verify(cands, sigs, id_col, threshold)
-        .select(F.col("b_id").alias(id_col))
-        .distinct()
-    )
+    verified = jaccard_verify(cands, sigs, id_col, threshold)
+    if transitive:
+        from gstools_core_spark.operators.graph import connected_components
+
+        comp = connected_components(verified, "a_id", "b_id")
+        dups = (
+            comp.where(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col))
+        )
+    else:
+        dups = verified.select(F.col("b_id").alias(id_col)).distinct()
     return df.join(dups, id_col, "left_anti")
 
 

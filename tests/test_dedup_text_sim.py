@@ -192,6 +192,80 @@ def test_simhash_pigeonhole_spread_mismatches(spark):
         DD.simhash_near_dups(df, "doc_id", max_hamming=16, n_bands=4)
 
 
+def _md5_int(s: str, lo: int = 0) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[lo : lo + 15], 16)
+
+
+def test_minhash_signature_rows_are_distinct(spark):
+    """Pin every signature row against a pure-Python evaluation of the
+    affine family.  Regression for the PySpark 4.1 lambda-collapse bug:
+    N same-shaped F.transform lambdas differing only in captured literals
+    silently all evaluated as the FIRST one, degenerating all signature
+    rows to copies of row 0 (found: every 64-entry signature had exactly 1
+    distinct value on the sf0.01 corpus)."""
+    texts = [(0, BASE), (1, OTHER)]
+    sigs = {
+        r["doc_id"]: list(r["signature"])
+        for r in DD.minhash_signature(_docs(spark, texts), "text", 16, 3)
+        .select("doc_id", "signature")
+        .collect()
+    }
+    P = DD._MH_PRIME
+
+    def shingles(t, k=3):
+        toks = t.split(" ")
+        if len(toks) < k:
+            return [" ".join(toks)]
+        return list(dict.fromkeys(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)))
+
+    for doc_id, text in texts:
+        hs = [_md5_int(s) % P for s in shingles(text)]
+        want = [min((h * (2 * i + 1) + 7 * i + 3) % P for h in hs) for i in range(16)]
+        assert sigs[doc_id] == want
+        assert len(set(want)) > 1  # the degenerate form can't pass this
+
+
+def test_simhash64_matches_reference(spark):
+    """Pin simhash64 bit-for-bit against a pure-Python evaluation (bits
+    0..59 from md5 hex 1..15, 60..63 from hex 16..30) — guards the
+    64-aggregate construction against the same lambda-collapse class."""
+    texts = [(0, BASE), (1, OTHER)]
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in DD.simhash64(_docs(spark, texts), "text").collect()
+    }
+    for doc_id, text in texts:
+        toks = text.split(" ")
+        sim = 0
+        for k in range(64):
+            if k < 60:
+                s = sum(((_md5_int(t) >> k) & 1) * 2 - 1 for t in toks)
+            else:
+                s = sum(((_md5_int(t, 15) >> (k - 60)) & 1) * 2 - 1 for t in toks)
+            if s > 0:
+                sim |= 1 << k
+        if sim >= 1 << 63:
+            sim -= 1 << 64
+        assert got[doc_id] == sim
+
+
+def test_minhash_dedup_transitive_components(spark):
+    """A~C and B~C but A≁B (C blends both): single-pass keeps {A, B};
+    transitive component resolution keeps only the component min {A}."""
+    a_toks = " ".join(f"a{i}" for i in range(10))
+    b_toks = " ".join(f"b{i}" for i in range(10))
+    df = _docs(spark, [(0, a_toks), (1, b_toks), (2, a_toks + " " + b_toks)])
+    kw = dict(threshold=0.45, num_hashes=64, bands=32, shingle_k=1)
+
+    single = DD.minhash_dedup(df, "text", "doc_id", **kw)
+    assert {r["doc_id"] for r in single.collect()} == {0, 1}
+
+    trans = DD.minhash_dedup(df, "text", "doc_id", transitive=True, **kw)
+    assert {r["doc_id"] for r in trans.collect()} == {0}
+
+
 def test_simhash_combination_banding_worst_case(spark):
     """Combination banding (key_blocks=2 over 6 blocks, max_hamming=4):
     dirty 4 DIFFERENT blocks so only one 2-block combination stays intact —
