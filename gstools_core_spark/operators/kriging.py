@@ -39,15 +39,16 @@ from gstools_core_spark.functions.models import (  # noqa: F401 — re-exported 
 )
 
 
-def _ring_stamp(df: DataFrame, radius: float, coords: Sequence[str]) -> DataFrame:
-    """Stamp each row onto the full 3^d ring of its blocking cell."""
+def _ring_stamp(
+    df: DataFrame, cell_exprs: Sequence, wrap_n: int | None = None
+) -> DataFrame:
+    """Stamp each row onto the full 3^d ring of its blocking cell
+    (``cell_exprs`` = one cell-index Column per axis); the LAST axis wraps
+    mod ``wrap_n`` when given (longitude at the antimeridian)."""
     import itertools
 
-    d = len(coords)
-    cells = [
-        F.floor(F.col(c) / F.lit(radius)).cast("long").alias(f"_c{k}")
-        for k, c in enumerate(coords)
-    ]
+    d = len(cell_exprs)
+    cells = [e.alias(f"_c{k}") for k, e in enumerate(cell_exprs)]
     offsets = F.array(
         *[
             F.struct(*[F.lit(o[k]).alias(f"d{k}") for k in range(d)])
@@ -56,8 +57,33 @@ def _ring_stamp(df: DataFrame, radius: float, coords: Sequence[str]) -> DataFram
     )
     out = df.select("*", *cells).withColumn("_off", F.explode(offsets))
     for k in range(d):
-        out = out.withColumn(f"jc{k}", F.col(f"_c{k}") + F.col(f"_off.d{k}"))
+        e = F.col(f"_c{k}") + F.col(f"_off.d{k}")
+        if wrap_n is not None and k == d - 1:
+            e = F.pmod(e, F.lit(wrap_n))
+        out = out.withColumn(f"jc{k}", e)
     return out.drop(*[f"_c{k}" for k in range(d)], "_off")
+
+
+def _grid_cells(coords: Sequence[str], radius: float) -> list:
+    return [F.floor(F.col(c) / F.lit(radius)).cast("long") for c in coords]
+
+
+def _geo_cells(
+    lat_col: str, lon_col: str, cell_lat: float, n_lon: int, lon_w: float
+) -> list:
+    cells = [F.floor(F.col(lat_col) / F.lit(cell_lat)).cast("long")]
+    if n_lon > 1:
+        cy = F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(lon_w)).cast("long")
+        # lon == 180.0 exactly lands in cell n_lon → clamp to the seam cell
+        cells.append(F.least(cy, F.lit(n_lon - 1)))
+    return cells
+
+
+def _pairwise_hav(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(na, 2) × (nb, 2) (lat, lon degrees) → central angle in RADIANS,
+    broadcast through the golden-pinned kernel (operation order identical
+    to variogram.rs:107-118)."""
+    return K.haversine_dist(A.T[:, :, None], B.T[:, None, :])
 
 
 def _solve1(A: np.ndarray, y: np.ndarray) -> np.ndarray:
@@ -90,6 +116,8 @@ def krige(
     max_cond: int = 512,
     drift_order: int = 1,
     knn: int | None = None,
+    haversine: bool = False,
+    max_abs_lat: float | None = None,
 ) -> DataFrame:
     """Krige ``cond`` onto ``targets`` → (id, <coords…>, krige_mean,
     krige_var, n_cond).  Any dimension (``coords`` of length d — blocking
@@ -116,33 +144,72 @@ def krige(
     capped) — cheaper, but an approximation the moving window removes.
     Ranking distances use explicit mul/add/sqrt (not np.hypot) so rank
     order is bitwise-reproducible against the SQL oracle.
+
+    ``haversine`` — kriging ON THE SPHERE: ``coords`` must be
+    ("lat", "lon") in DEGREES and ``radius`` (and the model's len_scale)
+    are central angles in RADIANS, matching the engine's geo conventions
+    (pair_join / geo_knn_join).  Blocking uses the wrapped haversine grid
+    (latitude cells of width degrees(radius); longitude cells wrap at the
+    antimeridian, derived from the data's |lat| bound unless
+    ``max_abs_lat`` is given), so neighborhoods straddling ±180° stay
+    intact; all neighborhood distances are great-circle central angles
+    through the golden-pinned kernel.
     """
     import itertools
 
     d = len(coords)
-    jkeys = [f"jc{k}" for k in range(d)]
+    wrap_n: int | None = None
+    if haversine:
+        from gstools_core_spark.operators.pair_join import haversine_grid
+
+        if d != 2:
+            raise ValueError("haversine kriging requires coords=(lat, lon)")
+        lat_c, lon_c = coords
+        if max_abs_lat is None:
+            row = (
+                targets.select(F.col(lat_c).alias("_l"))
+                .union(cond.select(F.col(lat_c).alias("_l")))
+                .agg(F.max(F.abs(F.col("_l"))))
+                .first()
+            )
+            max_abs_lat = float(row[0]) if row and row[0] is not None else 0.0
+        cell_lat, n_lon, lon_w = haversine_grid(radius, max_abs_lat)
+        if n_lon > 1:
+            wrap_n = n_lon
+
+        def cells_for(lat_name: str, lon_name: str) -> list:
+            return _geo_cells(lat_name, lon_name, cell_lat, n_lon, lon_w)
+
+        t_cells = cells_for(lat_c, lon_c)
+        d_block = len(t_cells)  # 1 when lon blocking is disabled
+    else:
+        t_cells = _grid_cells(coords, radius)
+        d_block = d
+
+    jkeys = [f"jc{k}" for k in range(d_block)]
     t = targets.select(
         F.col(target_id).alias("tid"),
         *[F.col(c).alias(f"t{k}") for k, c in enumerate(coords)],
-        *[
-            F.floor(F.col(c) / F.lit(radius)).cast("long").alias(jkeys[k])
-            for k, c in enumerate(coords)
-        ],
+        *[e.alias(jkeys[k]) for k, e in enumerate(t_cells)],
     )
-    c = _ring_stamp(
-        cond.select(
-            *[F.col(cc).alias(f"c{k}") for k, cc in enumerate(coords)],
-            F.col(cond_val).alias("cval"),
-        ),
-        radius,
-        tuple(f"c{k}" for k in range(d)),
+    c_sel = cond.select(
+        *[F.col(cc).alias(f"c{k}") for k, cc in enumerate(coords)],
+        F.col(cond_val).alias("cval"),
     )
+    if haversine:
+        c_cells = _geo_cells("c0", "c1", cell_lat, n_lon, lon_w)
+    else:
+        c_cells = _grid_cells(tuple(f"c{k}" for k in range(d)), radius)
+    c = _ring_stamp(c_sel, c_cells, wrap_n=wrap_n)
 
     nugget = model.nugget
     sill = model.sill
     mcov = model.cov  # any functions.models.CovModel (tiny, picklable)
     simple = method == "simple"
     mu = float(mean)
+    geo = haversine
+    _pw = _pairwise_hav if geo else _pairwise_dist
+    geo_grid = (cell_lat, n_lon, lon_w) if geo else None
     # monomial drift basis: ordinary kriging = constant drift only
     n_drift_order = 0 if method == "ordinary" else int(drift_order)
 
@@ -188,14 +255,24 @@ def krige(
         cv = c_pdf["cval"].to_numpy(np.float64)
         if len(C_pts) > max_cond:
             # keep the max_cond conditioning points nearest the cell center
-            center = (np.asarray(key, dtype=np.float64) + 0.5) * radius
-            d2 = np.sum((C_pts - center) ** 2, axis=1)
+            if geo_grid is not None:
+                cl, nl, lw = geo_grid
+                center = np.array(
+                    [
+                        (key[0] + 0.5) * cl,
+                        ((key[1] + 0.5) * lw - 180.0) if len(key) > 1 else 0.0,
+                    ]
+                )
+                d2 = _pairwise_hav(C_pts, center[None, :])[:, 0]
+            else:
+                center = (np.asarray(key, dtype=np.float64) + 0.5) * radius
+                d2 = np.sum((C_pts - center) ** 2, axis=1)
             keep = np.argpartition(d2, max_cond)[:max_cond]
             C_pts, cv = C_pts[keep], cv[keep]
         nc = len(C_pts)
 
-        dxx = _pairwise_dist(C_pts, C_pts)
-        dxt = _pairwise_dist(C_pts, T)
+        dxx = _pw(C_pts, C_pts)
+        dxt = _pw(C_pts, T)
         C = mcov(dxx) + nugget * np.eye(nc)  # nugget on the diagonal only
         V = mcov(dxt)  # (nc, nt)
 
@@ -269,13 +346,16 @@ def krige(
             # breaks distance ties by coordinates, not by shuffle arrival
             order = np.lexsort(tuple(C_pts[:, kk] for kk in range(d - 1, -1, -1)))
             C_pts, cv = C_pts[order], cv[order]
-            # explicit mul/add/sqrt — bitwise == the SQL oracle's distance
-            diff = C_pts[:, None, :] - T[None, :, :]
-            dxt = np.sqrt(np.sum(diff * diff, axis=2))  # (nc, nt)
+            if geo_grid is not None:
+                dxt = _pairwise_hav(C_pts, T)  # (nc, nt) central angles
+            else:
+                # explicit mul/add/sqrt — bitwise == the SQL oracle's distance
+                diff = C_pts[:, None, :] - T[None, :, :]
+                dxt = np.sqrt(np.sum(diff * diff, axis=2))  # (nc, nt)
             masked = np.where(dxt <= radius, dxt, np.inf)
             sel = np.argsort(masked, axis=0, kind="stable")[:knn]  # (≤knn, nt)
             counts = np.minimum((masked < np.inf).sum(axis=0), knn)
-            Cxx = mcov(_pairwise_dist(C_pts, C_pts))  # shared, nugget added per batch
+            Cxx = mcov(_pw(C_pts, C_pts))  # shared, nugget added per batch
             Vf = mcov(dxt)  # (nc, nt)
             for q in np.unique(counts):
                 if q == 0:

@@ -153,6 +153,93 @@ def test_krige_knn_matches_bruteforce(spark):
         assert (got["n_cond"] <= 8).all() and (got["n_cond"] > 0).any()
 
 
+def test_krige_haversine_knn_matches_bruteforce(spark):
+    """Moving-window kriging ON THE SPHERE: global point set with clusters
+    straddling the antimeridian; the wrapped-lon blocking must keep ±180°
+    neighborhoods intact, and every neighborhood solve must agree with a
+    brute-force haversine reference."""
+    from gstools_core_spark import kernels as K
+
+    rng = np.random.default_rng(5)
+    n_cond, n_targ = 50, 60
+    clat = rng.uniform(-60, 60, n_cond)
+    clon = rng.uniform(-175, 175, n_cond)
+    clat[:6] = rng.uniform(-5, 5, 6)
+    clon[:3] = rng.uniform(179.0, 180.0, 3)  # seam cluster, east side
+    clon[3:6] = rng.uniform(-180.0, -179.0, 3)  # seam cluster, west side
+    cv = np.sin(np.radians(clat)) + 0.5 * np.cos(np.radians(clon))
+    tlat = rng.uniform(-60, 60, n_targ)
+    tlon = rng.uniform(-175, 175, n_targ)
+    tlat[:4] = rng.uniform(-5, 5, 4)
+    tlon[:2], tlon[2:4] = 179.6, -179.6
+
+    def df(ids, lat, lon, val=None):
+        if val is None:
+            rows = [(int(i), float(a), float(b)) for i, a, b in zip(ids, lat, lon)]
+            return spark.createDataFrame(rows, "id long, lat double, lon double")
+        rows = [
+            (int(i), float(a), float(b), float(v))
+            for i, a, b, v in zip(ids, lat, lon, val)
+        ]
+        return spark.createDataFrame(rows, "id long, lat double, lon double, val double")
+
+    radius, k = 0.05, 6  # central angle radians (~2.9 deg)
+    model = GaussianModel(var=1.0, len_scale=0.05, nugget=0.01)
+    got = (
+        krige(
+            df(range(n_targ), tlat, tlon),
+            df(range(n_cond), clat, clon, cv),
+            model,
+            radius=radius,
+            method="ordinary",
+            coords=("lat", "lon"),
+            knn=k,
+            haversine=True,
+        )
+        .orderBy("id")
+        .toPandas()
+    )
+
+    def hav(alat, alon, blat, blon):
+        return float(
+            K.haversine_dist(
+                np.array([[alat], [alon]]), np.array([[blat], [blon]])
+            )[0]
+        )
+
+    seam_ok = False
+    for t in range(n_targ):
+        dist = np.array([hav(tlat[t], tlon[t], clat[j], clon[j]) for j in range(n_cond)])
+        cand = np.nonzero(dist <= radius)[0]
+        if len(cand) == 0:
+            assert got.loc[t, "n_cond"] == 0
+            assert got.loc[t, "krige_mean"] == 0.0
+            continue
+        idx = cand[np.lexsort((clon[cand], clat[cand], dist[cand]))[:k]]
+        lons = clon[idx]
+        if lons.size > 1 and lons.max() > 170 and lons.min() < -170:
+            seam_ok = True  # a neighborhood truly crosses the antimeridian
+        nc = len(idx)
+        D = np.array(
+            [[hav(clat[i], clon[i], clat[j], clon[j]) for j in idx] for i in idx]
+        )
+        C = model.cov(D) + model.nugget * np.eye(nc)
+        V = np.array([hav(clat[i], clon[i], tlat[t], tlon[t]) for i in idx])
+        V = model.cov(V)
+        A = np.zeros((nc + 1, nc + 1))
+        A[:nc, :nc] = C
+        A[nc, :nc] = 1.0
+        A[:nc, nc] = 1.0
+        B = np.concatenate([V, [1.0]])
+        W = np.linalg.solve(A, B)
+        want_mean = W[:nc] @ cv[idx]
+        want_var = max(model.sill - W[:nc] @ V - W[nc], 0.0)
+        assert got.loc[t, "n_cond"] == nc
+        np.testing.assert_allclose(got.loc[t, "krige_mean"], want_mean, rtol=1e-8)
+        np.testing.assert_allclose(got.loc[t, "krige_var"], want_var, rtol=1e-8, atol=1e-12)
+    assert seam_ok, "test construction must exercise an antimeridian neighborhood"
+
+
 def test_krige_knn_tie_break_and_exactness(spark):
     # two cond points exactly equidistant from the target: k=1 must pick the
     # coordinate-ascending one regardless of shuffle order
