@@ -177,6 +177,71 @@ def test_stateful_streaming_sessions(spark, sf_dir):
     assert len(want) > 0
 
 
+def test_streaming_variogram_matches_kernel(spark, sf_dir, tmp_path):
+    """Stream-stream self-join variogram == the golden numpy kernel run
+    per window on the same points, for every window the watermark closed.
+    Source is split into time-ordered files (one per micro-batch) — the
+    realistic ingestion shape; append mode then emits progressively."""
+    import numpy as np
+
+    from gstools_core_spark import kernels as K
+    from gstools_core_spark.functions import points as P
+    from gstools_core_spark.streaming.variogram import streaming_variogram
+
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 8 contiguous time ranges, one file per arrival epoch, mtimes ascending
+    # (the file stream source orders batches by modification time)
+    src = str(tmp_path / "ordered_events")
+    os.makedirs(src)
+    pdf_all = spark.read.parquet(f"{sf_dir}/events.parquet").orderBy("ts").toPandas()
+    pdf_all["ts"] = pdf_all["ts"].astype("datetime64[us]")  # Spark can't read NANOS
+    step = (len(pdf_all) + 7) // 8
+    for i in range(8):
+        f = f"{src}/part-{i:02d}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf_all.iloc[i * step : (i + 1) * step]), f)
+        os.utime(f, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+
+    edges = [0.0, 2.0, 4.0, 6.0]
+    got = streaming_variogram(
+        spark, src, edges, window="1 day", watermark="2 hours"
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("w"),
+            P.x_col("event_id").alias("x"),
+            P.y_col("event_id").alias("y"),
+            F.col("value").alias("val"),
+        )
+        .toPandas()
+    )
+    want = {}
+    for w, grp in pdf.groupby("w"):
+        pos = np.vstack([grp["x"].to_numpy(), grp["y"].to_numpy()])
+        gamma, counts = K.variogram_unstructured(
+            grp["val"].to_numpy()[None, :], np.array(edges), pos
+        )
+        for b in range(len(edges) - 1):
+            if counts[b] > 0:
+                want[(str(w), b)] = (gamma[b], int(counts[b]))
+
+    for r in rows:
+        key = (str(r["window_start"]), r["bin_id"])
+        assert key in want, key
+        g, n = want[key]
+        assert r["n_pairs"] == n
+        np.testing.assert_allclose(r["gamma"], g, rtol=1e-12)
+    # the stream must have closed (and emitted) most windows
+    assert len(rows) > 0.5 * len(want)
+
+
 def test_multimodal_plumbing(spark):
     media = synthesize_media(spark, 60)
     feats = extract_features(media, feature_dim=8, mode="fake")
