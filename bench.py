@@ -159,6 +159,36 @@ def bench_pages_krige_raster(spark, sf_dir):
     return rasterize_tiles(kriged, cell_size=2.0, value_col="krige_mean", tile_cells=8)
 
 
+def bench_pages_geo_krige(spark, sf_dir):
+    """Sphere path of the north-star chain: geocoded pages → HAVERSINE
+    moving-window kriging of the quality surface.  Wrapped-lon blocking,
+    central-angle radius, per-target k-nearest solves; the lang-skewed
+    geocoder concentrates pages in hot cells, so this also exercises the
+    skew path under AQE."""
+    from gstools_core_spark.functions import text as T
+
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    pages = geocode(synthesize_pages(spark, n))
+    pts = pages.select(
+        F.xxhash64("url").alias("id"),
+        "lat",
+        "lon",
+        T.quality_score(F.col("text")).alias("val"),
+    )
+    cond = pts.where(F.pmod(F.col("id"), F.lit(10)) == 0)
+    model = GaussianModel(var=1.0, len_scale=0.05, nugget=0.01)
+    return krige(
+        pts,
+        cond,
+        model,
+        radius=0.05,
+        method="ordinary",
+        coords=("lat", "lon"),
+        knn=16,
+        haversine=True,
+    )
+
+
 def bench_ann(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") % 10 == 0)
@@ -175,6 +205,7 @@ QUERIES = {
     "summate": bench_summate,
     "pages_tiles": bench_pages_tiles,
     "pages_krige_raster": bench_pages_krige_raster,
+    "pages_geo_krige": bench_pages_geo_krige,
     "minhash_dedup": bench_minhash,
     "ann_topk": bench_ann,
 }

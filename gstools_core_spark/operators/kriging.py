@@ -346,56 +346,76 @@ def krige(
             # breaks distance ties by coordinates, not by shuffle arrival
             order = np.lexsort(tuple(C_pts[:, kk] for kk in range(d - 1, -1, -1)))
             C_pts, cv = C_pts[order], cv[order]
-            if geo_grid is not None:
-                dxt = _pairwise_hav(C_pts, T)  # (nc, nt) central angles
-            else:
-                # explicit mul/add/sqrt — bitwise == the SQL oracle's distance
-                diff = C_pts[:, None, :] - T[None, :, :]
-                dxt = np.sqrt(np.sum(diff * diff, axis=2))  # (nc, nt)
-            masked = np.where(dxt <= radius, dxt, np.inf)
-            sel = np.argsort(masked, axis=0, kind="stable")[:knn]  # (≤knn, nt)
-            counts = np.minimum((masked < np.inf).sum(axis=0), knn)
-            Cxx = mcov(_pw(C_pts, C_pts))  # shared, nugget added per batch
-            Vf = mcov(dxt)  # (nc, nt)
-            for q in np.unique(counts):
-                if q == 0:
-                    continue
-                S = np.nonzero(counts == q)[0]
-                idx = sel[:q, S].T  # (m, q) neighbor indices per target
-                C_b = Cxx[idx[:, :, None], idx[:, None, :]] + nugget * np.eye(q)
-                V_b = Vf[idx, S[:, None]]  # (m, q)
-                v_b = cv[idx]  # (m, q)
-                if simple:
-                    try:
-                        W = np.linalg.solve(C_b, V_b[:, :, None])[:, :, 0]
-                    except np.linalg.LinAlgError:
-                        W = np.stack([_solve1(A, y) for A, y in zip(C_b, V_b)])
-                    est[S] = np.einsum("mq,mq->m", W, v_b - mu) + mu
-                    kvar[S] = np.maximum(sill - np.einsum("mq,mq->m", W, V_b), 0.0)
+            nc = len(C_pts)
+            # TARGET-CHUNKED: the (nc × chunk) distance block is the only
+            # O(nc)-wide buffer, so memory stays bounded however hot the
+            # cell (skewed geocoding packs 10^4+ points into one cell —
+            # the unchunked form allocated nc×nt and nc×nc matrices).
+            # Covariances are evaluated on GATHERED (m, q) / (m, q, q)
+            # neighbor blocks only, never on the full cell.
+            chunk = int(max(256, min(nt, (1 << 24) // max(nc, 1) + 1)))
+            for lo in range(0, nt, chunk):
+                Tc = T[lo : lo + chunk]
+                if geo_grid is not None:
+                    dxt = _pairwise_hav(C_pts, Tc)  # (nc, m_c) central angles
                 else:
-                    Fd_b = drift_basis_b(C_pts[idx])  # (m, nd, q)
-                    Ft_b = drift_basis(T[S]).T  # (m, nd)
-                    ndr = Fd_b.shape[1]
-                    m = len(S)
-                    A_b = np.zeros((m, q + ndr, q + ndr))
-                    A_b[:, :q, :q] = C_b
-                    A_b[:, q:, :q] = Fd_b
-                    A_b[:, :q, q:] = np.transpose(Fd_b, (0, 2, 1))
-                    B_b = np.concatenate([V_b, Ft_b], axis=1)[:, :, None]
-                    try:
-                        W = np.linalg.solve(A_b, B_b)[:, :, 0]
-                    except np.linalg.LinAlgError:
-                        # only the singular items take the lstsq path (e.g.
-                        # universal with fewer neighbors than drift fns)
-                        W = np.stack([_solve1(A, y[:, 0]) for A, y in zip(A_b, B_b)])
-                    est[S] = np.einsum("mq,mq->m", W[:, :q], v_b)
-                    kvar[S] = np.maximum(
-                        sill
-                        - np.einsum("mq,mq->m", W[:, :q], V_b)
-                        - np.einsum("mn,mn->m", W[:, q:], Ft_b),
-                        0.0,
-                    )
-                ncond[S] = q
+                    # explicit mul/add/sqrt — bitwise == the SQL oracle's
+                    diff = C_pts[:, None, :] - Tc[None, :, :]
+                    dxt = np.sqrt(np.sum(diff * diff, axis=2))
+                masked = np.where(dxt <= radius, dxt, np.inf)
+                sel = np.argsort(masked, axis=0, kind="stable")[:knn]
+                counts = np.minimum((masked < np.inf).sum(axis=0), knn)
+                for q in np.unique(counts):
+                    if q == 0:
+                        continue
+                    S = np.nonzero(counts == q)[0]
+                    G = lo + S  # global target rows
+                    idx = sel[:q, S].T  # (m, q) neighbor indices per target
+                    P_b = C_pts[idx]  # (m, q, d)
+                    if geo_grid is not None:
+                        A2 = P_b.transpose(2, 0, 1)  # (2, m, q)
+                        D_b = K.haversine_dist(A2[:, :, :, None], A2[:, :, None, :])
+                    else:
+                        dd = P_b[:, :, None, :] - P_b[:, None, :, :]
+                        D_b = np.sqrt(np.sum(dd * dd, axis=3))
+                    C_b = mcov(D_b) + nugget * np.eye(q)
+                    V_b = mcov(dxt[idx, S[:, None]])  # (m, q)
+                    v_b = cv[idx]  # (m, q)
+                    if simple:
+                        try:
+                            W = np.linalg.solve(C_b, V_b[:, :, None])[:, :, 0]
+                        except np.linalg.LinAlgError:
+                            W = np.stack([_solve1(A, y) for A, y in zip(C_b, V_b)])
+                        est[G] = np.einsum("mq,mq->m", W, v_b - mu) + mu
+                        kvar[G] = np.maximum(
+                            sill - np.einsum("mq,mq->m", W, V_b), 0.0
+                        )
+                    else:
+                        Fd_b = drift_basis_b(P_b)  # (m, nd, q)
+                        Ft_b = drift_basis(Tc[S]).T  # (m, nd)
+                        ndr = Fd_b.shape[1]
+                        m = len(S)
+                        A_b = np.zeros((m, q + ndr, q + ndr))
+                        A_b[:, :q, :q] = C_b
+                        A_b[:, q:, :q] = Fd_b
+                        A_b[:, :q, q:] = np.transpose(Fd_b, (0, 2, 1))
+                        B_b = np.concatenate([V_b, Ft_b], axis=1)[:, :, None]
+                        try:
+                            W = np.linalg.solve(A_b, B_b)[:, :, 0]
+                        except np.linalg.LinAlgError:
+                            # only singular items take lstsq (e.g. universal
+                            # with fewer neighbors than drift fns)
+                            W = np.stack(
+                                [_solve1(A, y[:, 0]) for A, y in zip(A_b, B_b)]
+                            )
+                        est[G] = np.einsum("mq,mq->m", W[:, :q], v_b)
+                        kvar[G] = np.maximum(
+                            sill
+                            - np.einsum("mq,mq->m", W[:, :q], V_b)
+                            - np.einsum("mn,mn->m", W[:, q:], Ft_b),
+                            0.0,
+                        )
+                    ncond[G] = q
         return pd.DataFrame(
             {**base, "krige_mean": est, "krige_var": kvar, "n_cond": ncond}
         )

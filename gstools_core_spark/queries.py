@@ -867,6 +867,40 @@ def q_krige_universal(spark, sf_dir):
     )
 
 
+def q_krige_geo(spark, sf_dir):
+    """Kriging ON THE SPHERE (rows-only: np.linalg per neighborhood; the
+    sphere path is pinned by test_krige_haversine_knn_matches_bruteforce
+    incl. antimeridian neighborhoods): document points mapped to a global
+    lat/lon extent — longitudes reach ±179 so the wrapped-lon blocking
+    grid is exercised — moving-window ordinary kriging with central-angle
+    radius."""
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir).select(
+        "id",
+        (F.col("x") * 6.0).alias("lat"),  # x ∈ [-10,10] → lat ∈ [-60,60]
+        (F.col("y") * 17.9).alias("lon"),  # y ∈ [-10,10] → lon ∈ [-179,179]
+        "val",
+    )
+    cond = pts.where(F.col("id") % 5 == 0)
+    model = GaussianModel(var=1.0, len_scale=0.1, nugget=0.01)
+    out = krige(
+        pts,
+        cond,
+        model,
+        radius=0.2,
+        method="ordinary",
+        coords=("lat", "lon"),
+        knn=8,
+        haversine=True,
+    )
+    return out.select(
+        "id",
+        F.round("krige_mean", 6).alias("krige_mean"),
+        F.round("krige_var", 6).alias("krige_var"),
+        "n_cond",
+    )
+
+
 def q_krige_raster(spark, sf_dir):
     """North-star end-to-end: geocoded points → ordinary kriging → kriged
     surface rasterized back to dense tile grids (rows-only; np.linalg
@@ -1804,6 +1838,7 @@ def registry() -> dict[str, tuple]:
         "krige_knn_small": (q_krige_knn_small, _sql_krige_knn_small()),
         "cond_field_small": (q_cond_field_small, _sql_cond_field_small()),
         "krige_universal": (q_krige_universal, None),
+        "krige_geo": (q_krige_geo, None),
         "krige_raster": (q_krige_raster, None),
         "krige_raster_small": (q_krige_raster_small, _sql_krige_raster_small()),
         "summate": (q_summate, _sql_summate("scalar")),
