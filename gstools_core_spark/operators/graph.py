@@ -70,14 +70,16 @@ def connected_components(
     max_rounds: int = 50,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component =
-    the smallest node id in its connected component.
+    the smallest node id in its connected component.  Ids may be any
+    ORDERABLE type (long doc ids, url strings, …) — the contraction only
+    needs min/comparison, so no cast is applied.
 
     Isolated nodes never appear in an edge list — union the full node set
     downstream with component = own id (see queries.q_dedup_components).
     """
-    e = edges.select(
-        F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
-    ).where(F.col("a") != F.col("b"))
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
 
     # localCheckpoint TRUNCATES LINEAGE each round: with persist() alone the
     # logical plan doubles per round (each star references e twice) and

@@ -68,17 +68,6 @@ def _grid_cells(coords: Sequence[str], radius: float) -> list:
     return [F.floor(F.col(c) / F.lit(radius)).cast("long") for c in coords]
 
 
-def _geo_cells(
-    lat_col: str, lon_col: str, cell_lat: float, n_lon: int, lon_w: float
-) -> list:
-    cells = [F.floor(F.col(lat_col) / F.lit(cell_lat)).cast("long")]
-    if n_lon > 1:
-        cy = F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(lon_w)).cast("long")
-        # lon == 180.0 exactly lands in cell n_lon → clamp to the seam cell
-        cells.append(F.least(cy, F.lit(n_lon - 1)))
-    return cells
-
-
 def _pairwise_hav(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """(na, 2) × (nb, 2) (lat, lon degrees) → central angle in RADIANS,
     broadcast through the golden-pinned kernel (operation order identical
@@ -177,10 +166,9 @@ def krige(
         if n_lon > 1:
             wrap_n = n_lon
 
-        def cells_for(lat_name: str, lon_name: str) -> list:
-            return _geo_cells(lat_name, lon_name, cell_lat, n_lon, lon_w)
+        from gstools_core_spark.operators.pair_join import geo_cell_exprs
 
-        t_cells = cells_for(lat_c, lon_c)
+        t_cells = geo_cell_exprs(lat_c, lon_c, cell_lat, n_lon, lon_w)
         d_block = len(t_cells)  # 1 when lon blocking is disabled
     else:
         t_cells = _grid_cells(coords, radius)
@@ -197,7 +185,7 @@ def krige(
         F.col(cond_val).alias("cval"),
     )
     if haversine:
-        c_cells = _geo_cells("c0", "c1", cell_lat, n_lon, lon_w)
+        c_cells = geo_cell_exprs("c0", "c1", cell_lat, n_lon, lon_w)
     else:
         c_cells = _grid_cells(tuple(f"c{k}" for k in range(d)), radius)
     c = _ring_stamp(c_sel, c_cells, wrap_n=wrap_n)
@@ -257,13 +245,17 @@ def krige(
             # keep the max_cond conditioning points nearest the cell center
             if geo_grid is not None:
                 cl, nl, lw = geo_grid
-                center = np.array(
-                    [
-                        (key[0] + 0.5) * cl,
-                        ((key[1] + 0.5) * lw - 180.0) if len(key) > 1 else 0.0,
-                    ]
-                )
-                d2 = _pairwise_hav(C_pts, center[None, :])[:, 0]
+                if len(key) > 1:
+                    center = np.array(
+                        [(key[0] + 0.5) * cl, (key[1] + 0.5) * lw - 180.0]
+                    )
+                    d2 = _pairwise_hav(C_pts, center[None, :])[:, 0]
+                else:
+                    # lon blocking disabled: the cell is a full latitude
+                    # band with no lon extent — rank by latitude distance
+                    # only (a lon=0 'center' would bias the kept points
+                    # toward the prime meridian)
+                    d2 = np.abs(C_pts[:, 0] - (key[0] + 0.5) * cl)
             else:
                 center = (np.asarray(key, dtype=np.float64) + 0.5) * radius
                 d2 = np.sum((C_pts - center) ** 2, axis=1)
@@ -347,24 +339,33 @@ def krige(
             order = np.lexsort(tuple(C_pts[:, kk] for kk in range(d - 1, -1, -1)))
             C_pts, cv = C_pts[order], cv[order]
             nc = len(C_pts)
-            # TARGET-CHUNKED: the (nc × chunk) distance block is the only
-            # O(nc)-wide buffer, so memory stays bounded however hot the
-            # cell (skewed geocoding packs 10^4+ points into one cell —
-            # the unchunked form allocated nc×nt and nc×nc matrices).
-            # Covariances are evaluated on GATHERED (m, q) / (m, q, q)
-            # neighbor blocks only, never on the full cell.
-            chunk = int(max(256, min(nt, (1 << 24) // max(nc, 1) + 1)))
+            # TARGET-CHUNKED: every O(nc)-wide buffer (distance block +
+            # its argsort) is capped at ~32 MB, so peak task memory stays
+            # ~100-150 MB however hot the cell (skewed geocoding packs
+            # 10^4+ points into one cell — the unchunked form allocated
+            # nc×nt and nc×nc matrices).  No floor on the chunk: a hotter
+            # cell just loops more.  Covariances are evaluated on GATHERED
+            # (m, q) / (m, q, q) neighbor blocks only, never the full cell.
+            chunk = int(max(1, min(nt, (1 << 22) // max(nc, 1) + 1)))
             for lo in range(0, nt, chunk):
                 Tc = T[lo : lo + chunk]
                 if geo_grid is not None:
                     dxt = _pairwise_hav(C_pts, Tc)  # (nc, m_c) central angles
                 else:
-                    # explicit mul/add/sqrt — bitwise == the SQL oracle's
-                    diff = C_pts[:, None, :] - Tc[None, :, :]
-                    dxt = np.sqrt(np.sum(diff * diff, axis=2))
-                masked = np.where(dxt <= radius, dxt, np.inf)
-                sel = np.argsort(masked, axis=0, kind="stable")[:knn]
-                counts = np.minimum((masked < np.inf).sum(axis=0), knn)
+                    # per-axis accumulation (no (nc, m, d) intermediate);
+                    # left-to-right axis order — bitwise == the SQL
+                    # oracle's dx*dx + dy*dy
+                    dxt = np.zeros((nc, len(Tc)))
+                    for kk in range(d):
+                        dk = C_pts[:, kk : kk + 1] - Tc[None, :, kk]
+                        dxt += dk * dk
+                    np.sqrt(dxt, out=dxt)
+                valid = dxt <= radius
+                counts = np.minimum(valid.sum(axis=0), knn)
+                # mask invalid entries in place: gathered (valid) cov
+                # inputs are untouched, no second (nc, m) float buffer
+                np.putmask(dxt, ~valid, np.inf)
+                sel = np.argsort(dxt, axis=0, kind="stable")[:knn]
                 for q in np.unique(counts):
                     if q == 0:
                         continue

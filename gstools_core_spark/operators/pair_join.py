@@ -91,6 +91,20 @@ def haversine_grid(
     return cell_lat, n_lon, 360.0 / n_lon
 
 
+def geo_cell_exprs(
+    lat_col: str, lon_col: str, cell_lat: float, n_lon: int, lon_w: float
+) -> list[Column]:
+    """Blocking-cell index Columns for the wrapped haversine grid — the ONE
+    definition of geo blocking cells (pair join, geo kNN, geo kriging all
+    share it; the lon==180.0 seam clamp lives only here)."""
+    cells = [F.floor(F.col(lat_col) / F.lit(cell_lat)).cast("long")]
+    if n_lon > 1:
+        cy = F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(lon_w)).cast("long")
+        # lon == 180.0 exactly lands in cell n_lon → clamp to the seam cell
+        cells.append(F.least(cy, F.lit(n_lon - 1)))
+    return cells
+
+
 def pair_join(
     points: DataFrame,
     max_dist: float,
@@ -131,12 +145,9 @@ def pair_join(
             row = points.agg(F.max(F.abs(F.col(lat_c)))).first()
             max_abs_lat = float(row[0]) if row and row[0] is not None else 0.0
         cell_lat, n_lon, lon_w = haversine_grid(max_dist, max_abs_lat)
-        cell_exprs = [F.floor(F.col(lat_c) / F.lit(cell_lat)).cast("long")]
+        cell_exprs = geo_cell_exprs(lat_c, lon_c, cell_lat, n_lon, lon_w)
         if n_lon > 1:
             wrap_n = n_lon
-            cy = F.floor((F.col(lon_c) + F.lit(180.0)) / F.lit(lon_w)).cast("long")
-            # lon == 180.0 exactly lands in cell n_lon → clamp to the seam cell
-            cell_exprs.append(F.least(cy, F.lit(n_lon - 1)))
     else:
         cell_exprs = [
             F.floor(F.col(c) / F.lit(max_dist)).cast("long") for c in coords

@@ -8,12 +8,10 @@ tests are hermetic.
 
 from __future__ import annotations
 
-import tempfile
-import uuid
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from gstools_core_spark.streaming.util import file_stream_source, run_to_memory_sink
 
 
 def stateful_user_sessions(
@@ -39,17 +37,7 @@ def stateful_user_sessions(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    static = spark.read.parquet(events_path)
-    p = Path(events_path)
-    if p.is_file():
-        d = Path(tempfile.mkdtemp(prefix="stream_src_"))
-        (d / p.name).symlink_to(p)
-        events_path = str(d)
-    stream = (
-        spark.readStream.schema(static.schema)
-        .parquet(events_path)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
+    stream = file_stream_source(spark, events_path)
 
     gap_us = gap_minutes * 60 * 1_000_000
     late_us = allowed_lateness_minutes * 60 * 1_000_000
@@ -95,16 +83,7 @@ def stateful_user_sessions(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    sink = f"user_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return run_to_memory_sink(out, "user_sessions", "append")
 
 
 def streaming_dedup(
@@ -124,31 +103,11 @@ def streaming_dedup(
     input the emitted set equals the batch ``dropDuplicates(keys)`` modulo
     which duplicate survives (first arrival wins here).
     """
-    static = spark.read.parquet(events_path)
-    p = Path(events_path)
-    if p.is_file():
-        d = Path(tempfile.mkdtemp(prefix="stream_src_"))
-        (d / p.name).symlink_to(p)
-        events_path = str(d)
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(events_path)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
+    stream = file_stream_source(spark, events_path, max_files_per_trigger=4)
     out = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
-    sink = f"events_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return run_to_memory_sink(out, "events_dedup", "append")
 
 
 def windowed_event_stats(
@@ -163,22 +122,7 @@ def windowed_event_stats(
     resulting DataFrame (batch-equivalent semantics; late rows beyond the
     watermark would be dropped in continuous operation).
     """
-    static = spark.read.parquet(events_path)
-    # the file stream source requires a DIRECTORY; expose a single parquet
-    # file through a temp dir of symlinks
-    p = Path(events_path)
-    if p.is_file():
-        d = Path(tempfile.mkdtemp(prefix="stream_src_"))
-        (d / p.name).symlink_to(p)
-        events_path = str(d)
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(events_path)
-    )
-    # parquet naive timestamps arrive as TIMESTAMP_NTZ; watermarks need an
-    # event-time TIMESTAMP — cast under the session UTC zone (deterministic)
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = file_stream_source(spark, events_path, max_files_per_trigger=4)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -193,13 +137,4 @@ def windowed_event_stats(
             "value_sum",
         )
     )
-    sink = f"events_windowed_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return run_to_memory_sink(agg, "events_windowed", "complete")

@@ -18,9 +18,6 @@ ring equi-join, so no cross join appears in the streaming plan either.
 
 from __future__ import annotations
 
-import tempfile
-import uuid
-from pathlib import Path
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +27,7 @@ from gstools_core_spark.functions import distance as D
 from gstools_core_spark.functions import points as P
 from gstools_core_spark.operators.pair_join import half_stencil
 from gstools_core_spark.operators.variogram import bin_id_col
+from gstools_core_spark.streaming.util import file_stream_source, run_to_memory_sink
 
 
 def streaming_variogram(
@@ -46,21 +44,10 @@ def streaming_variogram(
     windows stay in state (they would close in continuous operation).
     """
     max_dist = float(max(bin_edges))
-    static = spark.read.parquet(events_path)
-    p = Path(events_path)
-    if p.is_file():
-        d = Path(tempfile.mkdtemp(prefix="stream_src_"))
-        (d / p.name).symlink_to(p)
-        events_path = str(d)
     # one file per micro-batch: append mode only emits a window once a LATER
     # batch's watermark passes it, so a single-batch source would emit
     # nothing — the continuous-operation shape is many files/epochs anyway
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(events_path)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
+    stream = file_stream_source(spark, events_path, max_files_per_trigger=1)
     pts = (
         stream.select(
             F.col("event_id").alias("id"),
@@ -127,13 +114,4 @@ def streaming_variogram(
             "n_pairs",
         )
     )
-    sink = f"stream_vario_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return run_to_memory_sink(agg, "stream_vario", "append")

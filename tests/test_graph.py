@@ -62,6 +62,22 @@ def test_components_long_chain(spark):
     assert set(got.values()) == {0}
 
 
+def test_components_string_ids(spark):
+    """Ids only need to be ORDERABLE — url-keyed dedup graphs are strings.
+    (Regression: a long cast broke minhash_dedup(transitive=True) for
+    non-numeric id columns.)"""
+    edges = [("u/b", "u/a"), ("u/b", "u/c"), ("u/x", "u/y")]
+    df = spark.createDataFrame(edges, "a_id string, b_id string")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {
+        "u/a": "u/a",
+        "u/b": "u/a",
+        "u/c": "u/a",
+        "u/x": "u/x",
+        "u/y": "u/x",
+    }
+
+
 def test_components_two_cliques_and_bridge(spark):
     cl1 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
     cl2 = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
