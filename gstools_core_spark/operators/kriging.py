@@ -340,13 +340,13 @@ def krige(
             C_pts, cv = C_pts[order], cv[order]
             nc = len(C_pts)
             # TARGET-CHUNKED: every O(nc)-wide buffer (distance block +
-            # its argsort) is capped at ~32 MB, so peak task memory stays
-            # ~100-150 MB however hot the cell (skewed geocoding packs
-            # 10^4+ points into one cell — the unchunked form allocated
-            # nc×nt and nc×nc matrices).  No floor on the chunk: a hotter
-            # cell just loops more.  Covariances are evaluated on GATHERED
+            # its argsort) is capped at ~64 MB, so peak task memory stays
+            # ~250 MB however hot the cell (skewed geocoding packs 10^4+
+            # points into one cell — the unchunked form allocated nc×nt
+            # and nc×nc matrices).  No floor on the chunk: a hotter cell
+            # just loops more.  Covariances are evaluated on GATHERED
             # (m, q) / (m, q, q) neighbor blocks only, never the full cell.
-            chunk = int(max(1, min(nt, (1 << 22) // max(nc, 1) + 1)))
+            chunk = int(max(1, min(nt, (1 << 23) // max(nc, 1) + 1)))
             for lo in range(0, nt, chunk):
                 Tc = T[lo : lo + chunk]
                 if geo_grid is not None:
