@@ -453,7 +453,15 @@ def rasterize(
 ) -> DataFrame:
     """Aggregate a point field back onto a regular tile grid
     → (tile_x, tile_y, value, n_points)."""
-    agg_fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[agg]
+    agg_fn = {
+        "avg": F.avg,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        # exact interpolated median (not approx) — cross-engine-stable on
+        # integer-valued doubles, unlike percentile_approx
+        "median": lambda c: F.percentile(c, F.lit(0.5)),
+    }[agg]
     return (
         points.withColumn("tile_x", F.floor(F.col(x_col) / F.lit(cell_size)).cast("long"))
         .withColumn("tile_y", F.floor(F.col(y_col) / F.lit(cell_size)).cast("long"))

@@ -35,6 +35,7 @@ from gstools_core_spark.operators import variogram as V
 from gstools_core_spark.operators.field import summate_field
 from gstools_core_spark.operators.kriging import GaussianModel, krige
 from gstools_core_spark.operators.multimodal import extract_features, synthesize_media
+from gstools_core_spark.operators.pair_join import pair_join
 
 # ---------------------------------------------------------------------------
 # shared constants (used by BOTH the Spark impls and the SQL oracles)
@@ -643,6 +644,50 @@ def _sql_rasterize() -> str:
 SELECT CAST(floor(x / {RASTER_CS!r}) AS BIGINT) AS tile_x,
        CAST(floor(y / {RASTER_CS!r}) AS BIGINT) AS tile_y,
        round(sum(val) / count(*), 9) AS value,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM pts GROUP BY 1, 2"""
+
+
+def q_variogram_cloud(spark, sf_dir):
+    """Variogram CLOUD: the un-binned per-pair semivariances
+    (a_id, b_id, dist, sv = (Δval)²/2) — the standard outlier-diagnostics
+    product upstream of binning.  Spark side runs the cell-blocked ring
+    pair join (the scale path); the oracle brute-forces all pairs."""
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir)
+    pairs = pair_join(pts, max_dist=float(max(BIN_EDGES)))
+    diff = F.col("a_val") - F.col("b_val")
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.round("dist", 9).alias("dist"),
+        F.round(diff * diff / 2.0, 6).alias("sv"),
+    )
+
+
+def _sql_variogram_cloud() -> str:
+    return f"""WITH {SQL_PTS}, {SQL_PAIRS}
+SELECT a_id, b_id, round(dist, 9) AS dist, round(fd * fd / 2.0, 6) AS sv
+FROM pairs WHERE dist < {float(max(BIN_EDGES))!r}"""
+
+
+def q_rasterize_median(spark, sf_dir):
+    """Median-aggregated rasterization (robust tile statistic): exact
+    interpolated percentile per tile, cross-engine-stable on the
+    integer-valued doubles (unlike percentile_approx)."""
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir)
+    out = S.rasterize(pts, cell_size=RASTER_CS, value_col="val", agg="median")
+    return out.select(
+        "tile_x", "tile_y", F.round("value", 6).alias("value"), "n_points"
+    )
+
+
+def _sql_rasterize_median() -> str:
+    return f"""WITH {SQL_PTS}
+SELECT CAST(floor(x / {RASTER_CS!r}) AS BIGINT) AS tile_x,
+       CAST(floor(y / {RASTER_CS!r}) AS BIGINT) AS tile_y,
+       round(quantile_cont(val, 0.5), 6) AS value,
        CAST(count(*) AS BIGINT) AS n_points
 FROM pts GROUP BY 1, 2"""
 
@@ -1833,6 +1878,8 @@ def registry() -> dict[str, tuple]:
         "geo_knn": (q_geo_knn, _sql_geo_knn()),
         "point_in_polygon": (q_point_in_polygon, _sql_point_in_polygon()),
         "rasterize": (q_rasterize, _sql_rasterize()),
+        "rasterize_median": (q_rasterize_median, _sql_rasterize_median()),
+        "variogram_cloud": (q_variogram_cloud, _sql_variogram_cloud()),
         "krige_ordinary": (q_krige_ordinary, None),
         "krige_small": (q_krige_small, _sql_krige_small()),
         "krige_knn_small": (q_krige_knn_small, _sql_krige_knn_small()),
