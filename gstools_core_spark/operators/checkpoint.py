@@ -46,16 +46,20 @@ class CheckpointedRun:
     @staticmethod
     def _fingerprint(part: DataFrame, key_col: str) -> dict:
         """Order-independent input fingerprint of one bucket: row count +
-        bitwise XOR of the key hash (insensitive to partitioning/order,
-        sensitive to any added/removed/changed key, no overflow at any
-        row count — ANSI-safe)."""
+        bitwise XOR of the key hash + decimal SUM of the key hash.  XOR
+        alone is blind to even-multiplicity changes (a duplicated key K
+        replaced by a duplicated K' cancels in both), so the sum component
+        covers multiplicity; decimal(38,0) accumulation cannot overflow
+        below ~10^19 rows per bucket (ANSI-safe — sum(long) would throw)."""
         row = part.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64(F.col(key_col))).alias("h"),
+            F.sum(F.xxhash64(F.col(key_col)).cast("decimal(28,0)")).alias("s"),
         ).collect()[0]
         return {
             "input_rows": int(row["n"]),
             "input_hash": int(row["h"]) if row["h"] is not None else 0,
+            "input_sum": str(row["s"]) if row["s"] is not None else "0",
         }
 
     def run(
@@ -88,6 +92,7 @@ class CheckpointedRun:
                 if (
                     marker.get("input_rows") == fp["input_rows"]
                     and marker.get("input_hash") == fp["input_hash"]
+                    and marker.get("input_sum") == fp["input_sum"]
                 ):
                     continue
                 stale += 1  # source changed under the checkpoint: redo
@@ -107,6 +112,7 @@ class CheckpointedRun:
                         "key_col": key_col,
                         "input_rows": fp["input_rows"],
                         "input_hash": fp["input_hash"],
+                        "input_sum": fp["input_sum"],
                         "completed_at": time.time(),
                     }
                 )

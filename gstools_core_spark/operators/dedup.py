@@ -297,9 +297,10 @@ def simhash_near_dups(
     widths = simhash_band_widths(n_bands)
 
     def block(off: int, w: int) -> Column:
-        return F.shiftrightunsigned(F.col(sim_col), off).bitwiseAND(
-            F.lit((1 << w) - 1)
-        )
+        shifted = F.shiftrightunsigned(F.col(sim_col), off)
+        if w >= 64:  # whole-hash key (max_hamming=0): 2^64-1 overflows a long
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
 
     def combo_key(combo: tuple[int, ...]) -> Column:
         key = block(*widths[combo[0]])
@@ -390,9 +391,10 @@ def ngram_jaccard_pairs(
             .select("a_id", "b_id")
             .distinct()
         )
-        arrs = df.select(
-            F.col(id_col), shingles_col(F.col(text_col), k).alias("sh_arr")
-        )
+        # full shingle sets REGROUPED from the persisted posting list — not
+        # recomputed from text (the split+transform+distinct expression is
+        # the expensive part; order doesn't matter to intersect/union sizes)
+        arrs = sh.groupBy(id_col).agg(F.collect_list("s").alias("sh_arr"))
         joined = (
             cands.join(arrs.select(F.col(id_col).alias("a_id"), F.col("sh_arr").alias("a_sh")), "a_id")
             .join(arrs.select(F.col(id_col).alias("b_id"), F.col("sh_arr").alias("b_sh")), "b_id")

@@ -77,10 +77,13 @@ def haversine_grid(
     The secant bound cos(φmax + θ) is evaluated at the maximum latitude the
     connecting great-circle arc can reach; when it is ≤ 0 (poles reachable)
     or the required width exceeds 120° (n_lon < 3, modular adjacency unsafe)
-    we fall back to one lon cell.
+    we fall back to one lon cell.  NO clamp on ``lat_bound``: capping it at
+    89° silently under-sized lon cells for data in (89°, 90°) — near-polar
+    bounds flow into the cosine and degrade to the (sound) single-cell
+    fallback on their own.
     """
     cell_lat = math.degrees(max_dist)
-    phi = math.radians(min(abs(lat_bound), 89.0)) + max_dist
+    phi = math.radians(abs(lat_bound)) + max_dist
     denom = math.cos(phi)
     if denom <= 1e-9:
         return cell_lat, 1, 360.0

@@ -109,9 +109,7 @@ def geo_knn_join(
     the antimeridian (same grid as pair_join.haversine_grid — a single
     planet-wide lon cell when the secant bound degenerates).  The latitude
     bound is derived from the data (max over BOTH sides) unless given."""
-    import math
-
-    from gstools_core_spark.operators.pair_join import haversine_grid
+    from gstools_core_spark.operators.pair_join import geo_cell_exprs, haversine_grid
 
     if max_abs_lat is None:
         qb = queries.select(F.abs(F.col(lat_col)).alias("al")).unionByName(
@@ -120,19 +118,18 @@ def geo_knn_join(
         row = qb.agg(F.max("al")).first()
         max_abs_lat = float(row[0]) if row and row[0] is not None else 0.0
     cell_lat, n_lon, lon_w = haversine_grid(radius_rad, max_abs_lat)
-
-    def lon_cell(c):
-        if n_lon == 1:
-            return F.lit(0).cast("long")
-        cy = F.floor((c + F.lit(180.0)) / F.lit(lon_w)).cast("long")
-        return F.least(cy, F.lit(n_lon - 1))
+    # the shared geo blocking-cell definition; pad to a 2-key scheme with a
+    # constant lon cell when lon blocking is disabled
+    cells = geo_cell_exprs(lat_col, lon_col, cell_lat, n_lon, lon_w)
+    lat_cell = cells[0]
+    lon_cell = cells[1] if len(cells) > 1 else F.lit(0).cast("long")
 
     q = queries.select(
         F.col(query_id).alias("qid"),
         F.col(lat_col).alias("q_lat"),
         F.col(lon_col).alias("q_lon"),
-        F.floor(F.col(lat_col) / F.lit(cell_lat)).cast("long").alias("cx"),
-        lon_cell(F.col(lon_col)).alias("cy"),
+        lat_cell.alias("cx"),
+        lon_cell.alias("cy"),
     )
     lon_offs = (-1, 0, 1) if n_lon > 1 else (0,)
     offsets = F.array(
@@ -154,8 +151,8 @@ def geo_knn_join(
         F.col(base_id).alias("bid"),
         F.col(lat_col).alias("b_lat"),
         F.col(lon_col).alias("b_lon"),
-        F.floor(F.col(lat_col) / F.lit(cell_lat)).cast("long").alias("jcx"),
-        lon_cell(F.col(lon_col)).alias("jcy"),
+        lat_cell.alias("jcx"),
+        lon_cell.alias("jcy"),
     )
     dist = D.haversine(
         F.col("q_lat"), F.col("q_lon"), F.col("b_lat"), F.col("b_lon")

@@ -291,6 +291,30 @@ def test_checkpoint_detects_stale_source(spark, tmp_path):
     assert stats3["buckets_processed"] == 0
 
 
+def test_checkpoint_fingerprint_catches_even_multiplicity_swap(spark, tmp_path):
+    """XOR alone is blind to even-multiplicity changes (xx(K)^xx(K) = 0):
+    a twice-delivered key K replaced by a twice-delivered K' in the same
+    bucket keeps count and XOR identical — the decimal-sum component must
+    still flag the bucket stale."""
+    n_buckets = 4
+    rows = spark.range(64).select(
+        "id", F.pmod(F.xxhash64("id"), F.lit(n_buckets)).alias("b")
+    ).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["b"], []).append(r["id"])
+    k1, k2 = next(v[:2] for v in by_bucket.values() if len(v) >= 2)
+
+    src = spark.createDataFrame([(k1,), (k1,)], "id long")
+    run = CheckpointedRun(str(tmp_path / "out"), n_buckets=n_buckets)
+    run.run(src, lambda d: d, "id")
+
+    src2 = spark.createDataFrame([(k2,), (k2,)], "id long")
+    stats = run.run(src2, lambda d: d, "id")
+    assert stats["buckets_stale"] == 1
+    assert {r["id"] for r in run.read_output(spark).collect()} == {k2}
+
+
 def test_stateful_sessions_out_of_order_batches(spark, tmp_path):
     """Events split across files so availableNow delivers multiple
     micro-batches, with a later file carrying EARLIER timestamps for the

@@ -322,6 +322,16 @@ def test_simhash_combination_banding_matches_bruteforce(spark):
     assert len(want) >= 10
 
 
+def test_simhash_hamming_zero_whole_hash_key(spark):
+    """max_hamming=0 → one 64-bit band (whole-hash bucket key): must find
+    exactly the equal-sim pairs, not crash on the 2^64-1 mask literal."""
+    df = spark.createDataFrame(
+        [(0, 42), (1, 42), (2, -7)], "doc_id long, simhash long"
+    )
+    out = DD.simhash_near_dups(df, "doc_id", max_hamming=0).collect()
+    assert [(r["a_id"], r["b_id"], r["hamming"]) for r in out] == [(0, 1, 0)]
+
+
 def test_simhash_sign_bit_pair(spark):
     """Pairs differing in bit 63 (the sign bit) still verify correctly."""
     df = spark.createDataFrame(

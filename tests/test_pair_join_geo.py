@@ -43,6 +43,25 @@ def test_haversine_grid_polar_fallback():
     assert n_lon == 1
 
 
+def test_haversine_grid_no_89deg_clamp(spark):
+    """Regression: clamping the lat bound at 89° under-sized lon cells for
+    data in (89°, 90°) — a lat-89.6° pair 8° of longitude apart is within
+    0.001 rad central angle and MUST be found (cell-adjacent or fallback)."""
+    lat = np.array([89.6, 89.6, 89.6])
+    lon = np.array([0.0, 8.0, -170.0])
+    rows = [(i, float(a), float(b), 1.0) for i, (a, b) in enumerate(zip(lat, lon))]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double, val double")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in pair_join(
+            df, 0.001, coords=("lat", "lon"), haversine=True
+        ).collect()
+    }
+    want = _brute_pairs_hav(lat, lon, 0.001)
+    assert (0, 1) in want  # the construction really is a sub-radius pair
+    assert got == want
+
+
 def test_antimeridian_pairs_found(spark):
     """A pair straddling lon=±180 must be produced (lon cells wrap)."""
     rows = [
