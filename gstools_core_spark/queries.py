@@ -741,7 +741,7 @@ def _sql_krige_closed_ctes(knn2: bool = False) -> str:
     round(...,6) hash-matches.
 
     ``knn2``: moving-window semantics — neighborhoods are the 2 NEAREST
-    cond points with dist <= 3.0 (rank ties by (px, py) ascending, the
+    cond points with dist <= 3.0 (rank ties by (px, py, pv) ascending, the
     operator's canonical order), so EVERY target is closed-form solvable,
     not only the sparse-cond ones."""
     sig = 1.01
@@ -759,7 +759,7 @@ def _sql_krige_closed_ctes(knn2: bool = False) -> str:
 ),
 nb AS (SELECT * FROM nb0 WHERE dist <= 3.0),
 ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, px, py) AS rn
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, px, py, pv) AS rn
   FROM nb
 )"""
         piv_src = "ranked WHERE rn <= 2"
@@ -895,10 +895,57 @@ LEFT JOIN (SELECT id, count(*) AS nc_all FROM nb GROUP BY id) f ON f.id = t.id
 WHERE coalesce(f.nc_all, 0) <= 2"""
 
 
+def q_krige_universal_small(spark, sf_dir):
+    """Universal (drift order 1) kriging hash-checked through DRIFT-SPACE
+    EXACTNESS: the conditioning values are an exact linear function of the
+    coordinates (dyadic coefficients 0.25/0.125/0.0625 → the multiply/add
+    chain is bitwise-identical in both engines), and universal kriging
+    reproduces any function inside its drift space exactly — est(t) =
+    wᵀ(Fᵀβ) = βᵀ(Fw) = βᵀf(t) uses only the unbiasedness constraints, so
+    it holds for ANY covariance model whenever the drift block has full
+    rank (≥3 non-collinear neighbors).  The oracle therefore replays only
+    the ring-neighborhood COUNT and the linear target value; the Spark
+    side must reach it through the full distributed pipeline (ring-stamp
+    cogroup, drift-extended LAPACK solve, ~1e-12 solve error « the 1e-6
+    rounding quantum).  krige_var is not closed-form and is pinned by the
+    golden/constructed pytests instead."""
+    _prep(spark)
+    lin = F.lit(0.25) + F.lit(0.125) * F.col("x") - F.lit(0.0625) * F.col("y")
+    pts = _docs_points(spark, sf_dir).select("id", "x", "y", lin.alias("val"))
+    cond = pts.where(F.col("id") % 5 == 0)
+    model = GaussianModel(var=1.0, len_scale=2.0, nugget=0.01)
+    out = krige(pts, cond, model, radius=3.0, method="universal", drift_order=1)
+    return out.where(F.col("n_cond") >= 3).select(
+        "id", F.round("krige_mean", 6).alias("krige_mean"), "n_cond"
+    )
+
+
+def _sql_krige_universal_small() -> str:
+    return f"""WITH {SQL_PTS},
+cond AS (SELECT id, x, y FROM pts WHERE id % 5 = 0),
+tc AS (SELECT id, x, y,
+              CAST(floor(x / 3.0) AS BIGINT) AS cx,
+              CAST(floor(y / 3.0) AS BIGINT) AS cy FROM pts),
+cc AS (SELECT id, x, y,
+              CAST(floor(x / 3.0) AS BIGINT) AS cx,
+              CAST(floor(y / 3.0) AS BIGINT) AS cy FROM cond),
+cnt AS (
+  SELECT t.id, count(*) AS nc
+  FROM tc t JOIN cc c ON abs(t.cx - c.cx) <= 1 AND abs(t.cy - c.cy) <= 1
+  GROUP BY t.id
+)
+SELECT t.id,
+       round(0.25 + 0.125 * t.x - 0.0625 * t.y, 6) AS krige_mean,
+       CAST(cnt.nc AS BIGINT) AS n_cond
+FROM pts t JOIN cnt ON cnt.id = t.id
+WHERE cnt.nc >= 3"""
+
+
 def q_krige_universal(spark, sf_dir):
     """Universal (drift) kriging: unknown linear trend estimated jointly
-    with the weights (rows-only: np.linalg solve per neighborhood; the
-    drift-space exactness property is pinned by pytest)."""
+    with the weights (bench/API path; the hash gate runs
+    q_krige_universal_small's drift-space-exact twin, and the variance is
+    pinned by pytest)."""
     _prep(spark)
     pts = _docs_points(spark, sf_dir)
     cond = pts.where(F.col("id") % 5 == 0)
@@ -944,6 +991,113 @@ def q_krige_geo(spark, sf_dir):
         F.round("krige_var", 6).alias("krige_var"),
         "n_cond",
     )
+
+
+GEO_SMALL_MOD, GEO_SMALL_RADIUS, GEO_SMALL_LS = 11, 0.2, 0.1
+
+
+def q_krige_geo_small(spark, sf_dir):
+    """Kriging ON THE SPHERE, hash-checked: moving-window (knn=2) ordinary
+    kriging over the same wrapped-lon global extent as q_krige_geo
+    (lat ∈ [-60,60], lon ∈ [-179,179] — the antimeridian blocking grid is
+    live), capped at 2 nearest in-radius conditioning points so the
+    bordered solve has the closed form DuckDB can replay with haversine
+    distances (same algebra as krige_knn_small, central angles through
+    the identical sin/cos/atan2 operation order).  Values are
+    integer-valued doubles (n_chars), ranks tie-break by
+    (dist, lat, lon, val) on both sides."""
+    _prep(spark)
+    pts = _docs_points(spark, sf_dir).select(
+        "id",
+        (F.col("x") * 6.0).alias("lat"),
+        (F.col("y") * 17.9).alias("lon"),
+        "val",
+    )
+    cond = pts.where(F.col("id") % GEO_SMALL_MOD == 0)
+    model = GaussianModel(var=1.0, len_scale=GEO_SMALL_LS, nugget=0.01)
+    out = krige(
+        pts,
+        cond,
+        model,
+        radius=GEO_SMALL_RADIUS,
+        method="ordinary",
+        coords=("lat", "lon"),
+        knn=2,
+        haversine=True,
+    )
+    return out.select(
+        "id",
+        F.round("krige_mean", 6).alias("krige_mean"),
+        F.round("krige_var", 6).alias("krige_var"),
+        "n_cond",
+    )
+
+
+def _sql_krige_geo_small() -> str:
+    """Brute-force spec of the wrapped-grid knn=2 sphere kriging: the
+    engine's blocking recall is pinned separately (antimeridian pytests),
+    so the oracle ranks ALL in-radius conditioning points per target by
+    (dist, lat, lon, val) and solves the ≤2-point neighborhood in closed
+    form — cov(d) = exp(-((d/ls)·(d/ls))), sigma = sill = 1.01."""
+    from gstools_core_spark.functions.distance import sql_haversine
+
+    sig = 1.01
+    ls = GEO_SMALL_LS
+    cov = f"exp(-((({{d}}) / {ls!r}) * (({{d}}) / {ls!r})))"
+    c1 = cov.format(d=sql_haversine("x", "y", "px1", "py1"))
+    c2 = cov.format(d=sql_haversine("x", "y", "px2", "py2"))
+    c12 = cov.format(d=sql_haversine("px1", "py1", "px2", "py2"))
+    dist = sql_haversine("t.lat", "t.lon", "c.lat", "c.lon")
+    return f"""WITH pts0 AS (
+  SELECT doc_id AS id,
+         {P.sql_x('doc_id')} * 6.0 AS lat,
+         {P.sql_y('doc_id')} * 17.9 AS lon,
+         {VAL_SQL} AS val
+  FROM documents
+),
+cond AS (SELECT id, lat, lon, val FROM pts0 WHERE id % {GEO_SMALL_MOD} = 0),
+nb AS (
+  SELECT t.id, t.lat AS x, t.lon AS y,
+         c.lat AS px, c.lon AS py, c.val AS pv, {dist} AS dist
+  FROM pts0 t JOIN cond c ON {dist} <= {GEO_SMALL_RADIUS!r}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, px, py, pv) AS rn
+  FROM nb
+),
+piv AS (
+  SELECT id, x, y, count(*) AS nc,
+         max(CASE WHEN rn = 1 THEN px END) AS px1,
+         max(CASE WHEN rn = 1 THEN py END) AS py1,
+         max(CASE WHEN rn = 1 THEN pv END) AS pv1,
+         max(CASE WHEN rn = 2 THEN px END) AS px2,
+         max(CASE WHEN rn = 2 THEN py END) AS py2,
+         max(CASE WHEN rn = 2 THEN pv END) AS pv2
+  FROM ranked WHERE rn <= 2 GROUP BY id, x, y
+),
+solved AS (
+  SELECT p.id, nc,
+         CASE WHEN nc = 1 THEN pv1
+              ELSE ((1.0 + ({c1} - {c2}) / ({sig!r} - {c12})) / 2.0) * pv1
+                 + ((1.0 - ({c1} - {c2}) / ({sig!r} - {c12})) / 2.0) * pv2
+         END AS est,
+         CASE WHEN nc = 1 THEN greatest(2.0 * {sig!r} - 2.0 * {c1}, 0.0)
+              ELSE greatest(
+                {sig!r}
+                - (((1.0 + ({c1} - {c2}) / ({sig!r} - {c12})) / 2.0) * {c1}
+                   + ((1.0 - ({c1} - {c2}) / ({sig!r} - {c12})) / 2.0) * {c2})
+                - ({c1}
+                   - ((1.0 + ({c1} - {c2}) / ({sig!r} - {c12})) / 2.0) * {sig!r}
+                   - ((1.0 - ({c1} - {c2}) / ({sig!r} - {c12})) / 2.0) * {c12}),
+                0.0)
+         END AS kvar
+  FROM piv p
+)
+SELECT t.id,
+       round(coalesce(s.est, 0.0), 6) AS krige_mean,
+       round(coalesce(s.kvar, 1.01), 6) AS krige_var,
+       CAST(coalesce(s.nc, 0) AS BIGINT) AS n_cond
+FROM pts0 t LEFT JOIN solved s ON s.id = t.id"""
 
 
 def q_krige_raster(spark, sf_dir):
@@ -1102,53 +1256,21 @@ FROM documents GROUP BY text"""
 NGRAM_K, NGRAM_TAU = 3, 0.08
 
 
-def q_ngram_jaccard(spark, sf_dir):
-    _prep(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = DD.ngram_jaccard_pairs(docs, "text", "doc_id", k=NGRAM_K, threshold=NGRAM_TAU)
-    return out.select("a_id", "b_id", F.round("jaccard", 9).alias("jaccard"))
-
-
-def _sql_ngram_jaccard() -> str:
-    k = NGRAM_K
-    return f"""WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-),
-sh AS (
-  SELECT doc_id, unnest(list_distinct(
-    CASE WHEN len(t) >= {k}
-         THEN list_transform(range(1, len(t) - {k} + 2),
-                             i -> array_to_string(t[i:i+{k - 1}], ' '))
-         ELSE [array_to_string(t, ' ')] END)) AS s
-  FROM toks
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT a_id, b_id,
-       round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 9) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = a_id
-JOIN sizes sb ON sb.doc_id = b_id
-WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {NGRAM_TAU!r}"""
-
-
 def q_dedup_components(spark, sf_dir):
-    """Dedup-cluster resolution: the n-gram similarity pairs form a graph;
-    every document gets the smallest doc_id of its CONNECTED COMPONENT
-    (transitive near-duplicate closure — the web-scale contract, vs
-    minhash_dedup's single-pass pair canonicalization).  Spark side runs
-    alternating large-star/small-star contraction (operators/graph.py);
-    the oracle replays it as a recursive-CTE reachability closure."""
+    """Dedup-cluster resolution: the n-gram similarity pairs (capped
+    candidate generation — the scale path) form a graph; every document
+    gets the smallest doc_id of its CONNECTED COMPONENT (transitive
+    near-duplicate closure — the web-scale contract, vs minhash_dedup's
+    single-pass pair canonicalization).  Spark side runs alternating
+    large-star/small-star contraction (operators/graph.py); the oracle
+    replays it as a recursive-CTE reachability closure over the same
+    capped pair set."""
     from gstools_core_spark.operators.graph import connected_components
 
     _prep(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = DD.ngram_jaccard_pairs(
-        docs, "text", "doc_id", k=NGRAM_K, threshold=NGRAM_TAU
+        docs, "text", "doc_id", k=NGRAM_K, threshold=NGRAM_TAU, max_df=NGRAM_MAX_DF
     )
     comp = connected_components(pairs, "a_id", "b_id")
     return docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
@@ -1158,7 +1280,7 @@ def q_dedup_components(spark, sf_dir):
 
 def _sql_dedup_components() -> str:
     return f"""WITH RECURSIVE pairs AS (
-  SELECT a_id, b_id FROM ({_sql_ngram_jaccard()})
+  SELECT a_id, b_id FROM ({_sql_ngram_jaccard_capped()})
 ),
 und AS (
   SELECT a_id AS u, b_id AS v FROM pairs
@@ -1216,7 +1338,11 @@ WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
 # popcount — the strongest check of the banding recall guarantee).
 
 MH_HASHES, MH_BANDS, MH_K, MH_TAU = 32, 8, 3, 0.5
-SIMHASH_MAX_HAMMING = 16
+# scale-sane simhash gate spec: radius 4 via Manku combination banding
+# (6 blocks, 2-block keys → C(6,2)=15 bands of ≥20-bit keys).  Radius ≳16
+# has no scalable banding (simhash_near_dups raises via min_key_bits
+# unless explicitly overridden) and is deliberately NOT registered.
+SIMHASH_MAX_HAMMING, SIMHASH_BANDS, SIMHASH_KEY_BLOCKS = 4, 6, 2
 
 
 def q_minhash_dedup(spark, sf_dir):
@@ -1282,24 +1408,23 @@ WHERE u.doc_id IS NULL"""
 
 
 def q_simhash_neardup(spark, sf_dir):
-    _prep(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    hashed = DD.simhash64(docs, "text")
-    out = DD.simhash_near_dups(hashed, "doc_id", max_hamming=SIMHASH_MAX_HAMMING)
-    return out.select("a_id", "b_id", "hamming")
-
-
-def q_simhash_neardup_wide(spark, sf_dir):
-    """SimHash near-dups through COMBINATION banding (Manku WWW'07): the
-    web-scale radius (≤4 bits) keyed on C(6,2)=15 two-block combinations
-    of ~21-bit keys instead of 5 single ~13-bit blocks — exponentially
-    larger bucket space, same pigeonhole recall guarantee, verified here
-    against the brute-force all-pairs popcount oracle."""
+    """SimHash near-dups at the web-scale radius through COMBINATION
+    banding (Manku WWW'07): hamming ≤ 4 keyed on C(6,2)=15 two-block
+    combinations of ≥20-bit keys instead of 5 single ~13-bit blocks —
+    exponentially larger bucket space, same pigeonhole recall guarantee,
+    verified against the brute-force all-pairs popcount oracle.  This IS
+    the production spec: a radius-16 single-block banding (17 bands of
+    ~4-bit keys) degenerates quadratic in-bucket and is rejected by
+    simhash_near_dups' min_key_bits guard (pytest-pinned)."""
     _prep(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     hashed = DD.simhash64(docs, "text")
     out = DD.simhash_near_dups(
-        hashed, "doc_id", max_hamming=4, n_bands=6, key_blocks=2
+        hashed,
+        "doc_id",
+        max_hamming=SIMHASH_MAX_HAMMING,
+        n_bands=SIMHASH_BANDS,
+        key_blocks=SIMHASH_KEY_BLOCKS,
     )
     return out.select("a_id", "b_id", "hamming")
 
@@ -1852,7 +1977,16 @@ def q_multimodal_features(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def registry() -> dict[str, tuple]:
-    """name → (spark_fn, oracle_sql | None)."""
+    """name → (spark_fn, oracle_sql | None).
+
+    EXACTLY 50 entries, every one load-bearing: the correctness driver
+    checks at most 50 queries, so the registry is pinned at that size
+    (tests/test_registry.py) — growing it past 50 silently drops the tail
+    from the gate (round-2 lesson: source_stats/multimodal_features fell
+    out).  Full-size krige_universal / krige_geo and the uncapped
+    ngram_jaccard remain available as functions (bench/API paths); their
+    gate coverage moved to hash-checked small twins / the capped spec.
+    """
     return {
         "variogram_unstructured": (q_variogram_unstructured, _sql_variogram(BIN_EDGES, "m")),
         "variogram_cressie": (q_variogram_cressie, _sql_variogram(BIN_EDGES, "c")),
@@ -1884,20 +2018,21 @@ def registry() -> dict[str, tuple]:
         "krige_small": (q_krige_small, _sql_krige_small()),
         "krige_knn_small": (q_krige_knn_small, _sql_krige_knn_small()),
         "cond_field_small": (q_cond_field_small, _sql_cond_field_small()),
-        "krige_universal": (q_krige_universal, None),
-        "krige_geo": (q_krige_geo, None),
+        "krige_universal_small": (
+            q_krige_universal_small,
+            _sql_krige_universal_small(),
+        ),
+        "krige_geo_small": (q_krige_geo_small, _sql_krige_geo_small()),
         "krige_raster": (q_krige_raster, None),
         "krige_raster_small": (q_krige_raster_small, _sql_krige_raster_small()),
         "summate": (q_summate, _sql_summate("scalar")),
         "summate_fourier": (q_summate_fourier, _sql_summate("fourier")),
         "summate_incompr": (q_summate_incompr, _sql_summate("incompr")),
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-        "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
         "ngram_jaccard_capped": (q_ngram_jaccard_capped, _sql_ngram_jaccard_capped()),
         "dedup_components": (q_dedup_components, _sql_dedup_components()),
         "minhash_dedup": (q_minhash_dedup, _sql_minhash_dedup()),
         "simhash_neardup": (q_simhash_neardup, _sql_simhash_neardup()),
-        "simhash_neardup_wide": (q_simhash_neardup_wide, _sql_simhash_neardup(4)),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
         "lang_id": (q_lang_id, _sql_lang_id()),
         "quality_score": (q_quality_score, _sql_quality_score()),

@@ -7,6 +7,8 @@ availableNow memory-sink run were previously copy-pasted per operator.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 import uuid
 from pathlib import Path
@@ -30,6 +32,9 @@ def file_stream_source(
     p = Path(path).resolve()
     if p.is_file():
         d = Path(tempfile.mkdtemp(prefix="stream_src_"))
+        # the shim dir (one symlink) lives until process exit — the stream
+        # reads it lazily, so it can't be removed before the query runs
+        atexit.register(shutil.rmtree, str(d), ignore_errors=True)
         (d / p.name).symlink_to(p)
         path = str(d)
     reader = spark.readStream.schema(static.schema)

@@ -54,7 +54,9 @@ def test_simhash_near_dups(spark):
     ham01 = bin((sims[0] ^ sims[1]) & ((1 << 64) - 1)).count("1")
     ham02 = bin((sims[0] ^ sims[2]) & ((1 << 64) - 1)).count("1")
     assert ham01 < ham02  # near-dup much closer in hamming space
-    dups = DD.simhash_near_dups(hashed, "doc_id", max_hamming=ham01).collect()
+    dups = DD.simhash_near_dups(
+        hashed, "doc_id", max_hamming=ham01, min_key_bits=0
+    ).collect()
     assert any(r["a_id"] == 0 and r["b_id"] == 1 for r in dups)
 
 
@@ -182,7 +184,7 @@ def test_simhash_pigeonhole_spread_mismatches(spark):
     for k in bits:
         sim_b |= 1 << k
     df = spark.createDataFrame([(0, 0), (1, sim_b)], "doc_id long, simhash long")
-    out = DD.simhash_near_dups(df, "doc_id", max_hamming=16).collect()
+    out = DD.simhash_near_dups(df, "doc_id", max_hamming=16, min_key_bits=0).collect()
     assert len(out) == 1 and out[0]["hamming"] == 16
 
     # the legacy configuration is now a hard error, not silent recall loss
@@ -337,8 +339,46 @@ def test_simhash_sign_bit_pair(spark):
     df = spark.createDataFrame(
         [(0, 0), (1, -9223372036854775808)], "doc_id long, simhash long"
     )
-    out = DD.simhash_near_dups(df, "doc_id", max_hamming=3).collect()
+    out = DD.simhash_near_dups(df, "doc_id", max_hamming=3, min_key_bits=0).collect()
     assert len(out) == 1 and out[0]["hamming"] == 1
+
+
+def test_simhash_narrow_key_guard(spark):
+    """Scale guard: radius-16 single-block banding (17 bands of ~4-bit
+    keys → ~16 buckets per band) must NOT ship silently — it raises unless
+    the caller explicitly opts out with min_key_bits=0.  The registered
+    combination-banding config (6 blocks, 2-block keys → ≥20-bit keys)
+    passes the default guard."""
+    import pytest
+
+    df = spark.createDataFrame([(0, 0), (1, 3)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="buckets per band"):
+        DD.simhash_near_dups(df, "doc_id", max_hamming=16)
+    # explicit opt-out still works (small corpora / tests)
+    out = DD.simhash_near_dups(df, "doc_id", max_hamming=16, min_key_bits=0).collect()
+    assert len(out) == 1
+    # the scale-sane combination banding clears the default guard
+    out = DD.simhash_near_dups(
+        df, "doc_id", max_hamming=4, n_bands=6, key_blocks=2
+    ).collect()
+    assert len(out) == 1 and out[0]["hamming"] == 2
+
+
+def test_ngram_uncapped_warns(spark):
+    """max_df=None (quadratic posting-list join) emits the scale warning;
+    the capped path stays silent."""
+    import warnings
+
+    import pytest
+
+    df = _docs(spark, [(0, BASE), (1, NEAR), (2, OTHER)])
+    with pytest.warns(UserWarning, match="uncapped"):
+        DD.ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.3).count()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        DD.ngram_jaccard_pairs(
+            df, "text", "doc_id", k=3, threshold=0.3, max_df=100
+        ).count()
 
 
 def test_ngram_jaccard_max_df_caps_hot_shingle(spark):

@@ -571,3 +571,77 @@ def test_summate_field_3d(spark):
     want = K.summate_incompr(modes, z1, z2, pos)
     for k in range(3):
         np.testing.assert_allclose(got_i[f"u_{k}"], want[k], rtol=1e-12)
+
+
+def test_krige_external_drift_reproduces_covariate(spark):
+    """External-drift kriging (KED): with conditioning values lying exactly
+    on v = a + b·elev (elev an external covariate uncorrelated with the
+    coordinates), the KED predictor returns a + b·elev(target) at every
+    target — drift-space exactness over the caller-supplied basis.
+    Ordinary kriging on the same field cannot (it never sees elev).
+    Checked on BOTH solve paths (shared-cell and knn moving-window)."""
+    from pyspark.sql import functions as F
+
+    a, b = 3.0, 0.5
+    rng = np.random.default_rng(11)
+    cx, cy = rng.uniform(0, 4, 50), rng.uniform(0, 4, 50)
+    ce = rng.uniform(-2, 2, 50)
+    cv = a + b * ce
+    tx, ty = rng.uniform(0.5, 3.5, 20), rng.uniform(0.5, 3.5, 20)
+    te = rng.uniform(-2, 2, 20)
+
+    cond = spark.createDataFrame(
+        [(int(i) + 1000, float(x), float(y), float(e), float(v))
+         for i, x, y, e, v in zip(range(50), cx, cy, ce, cv)],
+        "id long, x double, y double, elev double, val double",
+    )
+    targets = spark.createDataFrame(
+        [(int(i), float(x), float(y), float(e))
+         for i, x, y, e in zip(range(20), tx, ty, te)],
+        "id long, x double, y double, elev double",
+    )
+    model = GaussianModel(var=1.0, len_scale=1.5, nugget=0.0)
+    want = a + b * te
+
+    ked = krige(
+        targets, cond, model, radius=4.0, method="ordinary", drift_cols=("elev",)
+    )
+    got = {r["id"]: r["krige_mean"] for r in ked.collect()}
+    for i in range(20):
+        assert abs(got[i] - want[i]) < 1e-6, (i, got[i], want[i])
+
+    ked_knn = krige(
+        targets, cond, model, radius=4.0, method="ordinary",
+        drift_cols=("elev",), knn=8,
+    )
+    got_k = {r["id"]: r["krige_mean"] for r in ked_knn.collect()}
+    for i in range(20):
+        assert abs(got_k[i] - want[i]) < 1e-6, (i, got_k[i], want[i])
+
+    # ordinary kriging without the covariate is visibly off the drift
+    ordn = krige(targets, cond, model, radius=4.0, method="ordinary")
+    got_o = {r["id"]: r["krige_mean"] for r in ordn.collect()}
+    assert max(abs(got_o[i] - want[i]) for i in range(20)) > 1e-3
+
+    # KED composes with universal monomials: v = plane(x, y) + b·elev
+    cv2 = 1.0 + 0.3 * cx - 0.2 * cy + b * ce
+    cond2 = spark.createDataFrame(
+        [(int(i) + 1000, float(x), float(y), float(e), float(v))
+         for i, x, y, e, v in zip(range(50), cx, cy, ce, cv2)],
+        "id long, x double, y double, elev double, val double",
+    )
+    uni = krige(
+        targets, cond2, model, radius=4.0, method="universal",
+        drift_order=1, drift_cols=("elev",),
+    )
+    want2 = 1.0 + 0.3 * tx - 0.2 * ty + b * te
+    got_u = {r["id"]: r["krige_mean"] for r in uni.collect()}
+    for i in range(20):
+        assert abs(got_u[i] - want2[i]) < 1e-6, (i, got_u[i], want2[i])
+
+    # simple kriging rejects external drift
+    import pytest
+
+    with pytest.raises(ValueError, match="external drift"):
+        krige(targets, cond, model, radius=4.0, method="simple",
+              drift_cols=("elev",))

@@ -77,3 +77,18 @@ def test_directional_plan_stays_codegen(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "ArrayFilter" not in plan
     assert "lambdafunction" not in plan.lower()
+
+
+def test_ivf_init_no_global_sort(spark):
+    """IVF centroid init ("n_clusters smallest base ids") must compile to
+    TakeOrderedAndProject — a per-partition bounded top-K heap merged at
+    the driver — not a global Sort+Exchange (O(N log N) over 10^9 vectors
+    at scale)."""
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("bid"), F.array(F.lit(1.0), F.lit(2.0)).alias("v")
+    )
+    plan = (
+        df.orderBy("bid").limit(16)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "+- Sort" not in plan and "rangepartitioning" not in plan.lower()

@@ -11,6 +11,10 @@ within-JVM degradation across successive queries):
 * three levels measured: 2, 8, 32 cores.  The primary N→4N pair is 2→8
   (the regime where this single-socket VM's shared memory-bandwidth ceiling
   does not yet bind); 8→32 is reported alongside with the ceiling analysis.
+
+Covers both halves of the registry: the geostat headline (variogram +
+krige — the north-rule pages/sec pair) AND the LLM-pipeline operators
+(minhash_dedup, ann_topk).
 """
 
 from __future__ import annotations
@@ -22,7 +26,9 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-QUERIES = ("variogram", "krige")
+HEADLINE = ("variogram", "krige")  # north-rule pages/sec pair
+PIPELINE = ("minhash_dedup", "ann_topk")  # dedup/ANN scaling evidence
+QUERIES = HEADLINE + PIPELINE
 LEVELS = (2, 8, 32)
 REPS = 2
 
@@ -61,15 +67,18 @@ def main():
             results[cpus][q] = best
             print(f"{q} @ local[{cpus}]: {best:.2f}s", flush=True)
 
-    totals = {lvl: sum(results[lvl].values()) for lvl in LEVELS}
-    thr = {lvl: n_rows * len(QUERIES) / totals[lvl] for lvl in LEVELS}
+    def eff(q: str, lo: int, hi: int) -> float:
+        return (results[lo][q] / results[hi][q]) / (hi / lo)
+
+    totals = {lvl: sum(results[lvl][q] for q in HEADLINE) for lvl in LEVELS}
+    thr = {lvl: n_rows * len(HEADLINE) / totals[lvl] for lvl in LEVELS}
     eff_2_8 = (thr[8] / thr[2]) / 4.0
     eff_8_32 = (thr[32] / thr[8]) / 4.0
 
-    rows = "\n".join(
-        f"| local[{lvl}] | {results[lvl]['variogram']:.2f} | {results[lvl]['krige']:.2f} | "
-        f"{totals[lvl]:.2f} | {thr[lvl]:.0f} |"
-        for lvl in LEVELS
+    per_query = "\n".join(
+        f"| {q} | " + " | ".join(f"{results[lvl][q]:.2f}" for lvl in LEVELS)
+        + f" | {eff(q, 2, 8):.3f} | {eff(q, 8, 32):.3f} |"
+        for q in QUERIES
     )
     lines = [
         "# BENCH — scaling evidence (sandbox substitution for N vs 4N executors)",
@@ -78,11 +87,21 @@ def main():
         f"levels, one query per fresh JVM, best of {REPS} runs (shared-VM",
         "noise), HEAVY workload sizes (variogram rmax=3.0 → ~1B candidate",
         "pairs; ordinary kriging, 50% conditioning, max_cond=512) so compute",
-        "dominates the ~8 s fixed per-query overhead.",
+        "dominates the ~8 s fixed per-query overhead.  minhash_dedup and",
+        "ann_topk are the LLM-pipeline representatives (shingle→signature→",
+        "band-join→verify; broadcast-matmul cosine top-k).",
         "",
-        "| parallelism | variogram s | krige s | total s | pages/sec |",
-        "|---|---|---|---|---|",
-        rows,
+        "| query | local[2] s | local[8] s | local[32] s | eff 2→8 | eff 8→32 |",
+        "|---|---|---|---|---|---|",
+        per_query,
+        "",
+        "North-rule headline (variogram + krige):",
+        "",
+        "| parallelism | total s | pages/sec |",
+        "|---|---|---|",
+        "\n".join(
+            f"| local[{lvl}] | {totals[lvl]:.2f} | {thr[lvl]:.0f} |" for lvl in LEVELS
+        ),
         "",
         f"**Scaling efficiency N→4N at N=2 (local[2]→local[8]): {eff_2_8:.3f}**",
         f"  (target ≥ 0.8 per BASELINE.json)",
@@ -99,6 +118,11 @@ def main():
         "the 8→32 pair measures the VM's bandwidth wall, not the plan's",
         "scalability.  All shuffle keys (blocking cells) are uniform here;",
         "skewed inputs are covered by AQE skew-join + salting tests.",
+        "",
+        "Short-runtime caveat: the pipeline queries finish in seconds at",
+        "sf0.1, so their efficiency numbers carry more fixed-overhead and",
+        "shared-VM noise than the heavy geostat pair — read them as 'does",
+        "the plan parallelize at all', with the 2→8 pair primary.",
     ]
     (REPO / "BENCH.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
