@@ -82,13 +82,16 @@ def bench_krige(spark, sf_dir):
     pts = _event_points(spark, sf_dir)
     cond = pts.where(F.col("id") % (2 if HEAVY else 10) == 0)
     model = GaussianModel(var=1.0, len_scale=0.3, nugget=0.01)
+    # HEAVY max_cond=768: per-cell inv() is the dominant compute
+    # (~0.3 GFlop × 400 cells); at 512 the whole query was ~10 s at
+    # local[2] and fixed overhead blurred the scaling signal
     return krige(
         pts,
         cond,
         model,
         radius=BENCH_RADIUS,
         method="ordinary",
-        max_cond=512 if HEAVY else 256,
+        max_cond=768 if HEAVY else 256,
     )
 
 
@@ -124,10 +127,43 @@ def bench_pages_tiles(spark, sf_dir):
     )
 
 
-def bench_minhash(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-        spark.sparkContext.defaultParallelism
+def _synthetic_docs(spark, n: int):
+    """Deterministic mostly-unique corpus: each word drawn INDEPENDENTLY
+    per (doc, position) via xxhash64 — unlike sources.pages.synthesize_pages,
+    whose arithmetic-progression text yields only 48 distinct cyclic word
+    sequences (every residue class is mutually near-duplicate: feeding it
+    to minhash explodes to ~n²/48 candidate pairs — measured: 200k pages
+    ran >9 min).  Here cross-doc Jaccard is tiny, so the bench measures
+    signature + banding throughput, not a degenerate dup cluster."""
+    from gstools_core_spark.sources.pages import WORDS
+
+    df = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+    words_arr = F.array(*[F.lit(w) for w in WORDS])
+    n_words = 20 + F.pmod(F.col("id") * 7, F.lit(80))
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda k: F.element_at(
+                words_arr,
+                (F.pmod(F.xxhash64(F.col("id"), k), F.lit(len(WORDS))) + 1).cast("int"),
+            ),
+        ),
     )
+    return df.select(F.col("id").alias("doc_id"), text.alias("text"))
+
+
+def bench_minhash(spark, sf_dir):
+    if HEAVY:
+        # the parquet corpus at sf0.1 is ~5k docs — seconds of work that
+        # fixed overhead swamps at any parallelism.  The HEAVY (scaling-
+        # evidence) workload runs the SAME operator over 500k synthesized
+        # docs so the per-row signature compute + band join dominate.
+        docs = _synthetic_docs(spark, 500_000)
+    else:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+            spark.sparkContext.defaultParallelism
+        )
     # hash_fn="xx": the production fast path (JVM xxhash64); the portable
     # md5 default exists only for DuckDB-oracle differential testability
     return minhash_dedup(
@@ -189,9 +225,29 @@ def bench_pages_geo_krige(spark, sf_dir):
     )
 
 
+def _synthetic_embeddings(spark, n: int, dim: int = 64):
+    """Deterministic dense vectors (xxhash-derived uniforms in [-1, 1)) —
+    distributed generation, no driver-side data."""
+    df = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda k: (
+            F.pmod(F.xxhash64(F.col("id"), k), F.lit(100_000)) / 50_000.0 - 1.0
+        ).cast("float"),
+    )
+    return df.select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+
+
 def bench_ann(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = emb.where(F.col("vec_id") % 10 == 0)
+    if HEAVY:
+        # sf0.1 ships only 2k embedding vectors; the HEAVY workload runs
+        # the same broadcast-matmul top-k over 200k synthesized vectors ×
+        # 10k queries (~128 GMAC of BLAS) so compute dominates.
+        emb = _synthetic_embeddings(spark, 200_000)
+        q = emb.where(F.col("vec_id") % 20 == 0)
+    else:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") % 10 == 0)
     return cosine_topk(q, emb, k=10, query_id="vec_id", base_id="vec_id")
 
 

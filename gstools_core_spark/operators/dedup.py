@@ -23,6 +23,27 @@ from gstools_core_spark.functions import hashing as H
 _MH_PRIME = 2147483647
 
 
+def mh_params(num_hashes: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) for the affine minhash family h_i(x) = (a_i·x + b_i) mod p.
+
+    The coefficients are spread over the whole field via Knuth
+    multiplicative-hash constants — NOT small integers: with a_i = 2i+1
+    (the original family) the argmin shingle barely changes across i, so
+    two documents sharing their minimum base hash got near-identical FULL
+    signatures and every band collided — measured ~n²·J false candidate
+    pairs at 200k docs (the exact verify rejected them, but the verify
+    join itself degenerated quadratic).  a_i < p keeps a·h + b < 2^62 + p,
+    inside both Spark's long and DuckDB's BIGINT (p is prime, so any
+    a ≢ 0 is a bijection mod p)."""
+    return [
+        (
+            ((i + 1) * 2654435761) % _MH_PRIME,
+            ((i + 7) * 2654446091 + 12345) % _MH_PRIME,
+        )
+        for i in range(num_hashes)
+    ]
+
+
 def _str_hash(c: Column, hash_fn: str) -> Column:
     return F.xxhash64(c) if hash_fn == "xx" else H.portable_hash(c)
 
@@ -80,10 +101,8 @@ def minhash_signature(
     # test_minhash_signature_rows_are_distinct.
     params = F.array(
         *[
-            F.struct(
-                F.lit(2 * i + 1).alias("a"), F.lit(7 * i + 3).alias("b")
-            )
-            for i in range(num_hashes)
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in mh_params(num_hashes)
         ]
     )
     sig = F.transform(

@@ -88,16 +88,30 @@ def cosine_topk(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Bm, bid_arr = bc.value
+        nb = len(bid_arr)
+        # QUERY-CHUNKED: the similarity block is (chunk, nb) doubles —
+        # capped at ~64 MB however large the base, so task memory stays
+        # bounded (an unchunked 10k-query Arrow batch against a 100k base
+        # allocated a 8 GB sims+mask working set; on this host the fresh
+        # allocations page-fault and the matmul runs 10× slower than the
+        # flops say).  No floor: a bigger base just loops more.
+        qchunk = int(max(1, (8 << 20) // max(nb, 1)))
         for pdf in batches:
             if pdf.empty:
                 continue
-            Q = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            sims = Q @ Bm.T  # (nq, nb)
-            qids = pdf["qid"].to_numpy(np.int64)
-            # exclude self-match by id
-            self_mask = qids[:, None] == bid_arr[None, :]
-            sims = np.where(self_mask, -np.inf, sims)
+            Q_all = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            Q_all /= np.linalg.norm(Q_all, axis=1, keepdims=True)
+            qids_all = pdf["qid"].to_numpy(np.int64)
+            for qlo in range(0, len(qids_all), qchunk):
+                yield _topk_block(
+                    Q_all[qlo : qlo + qchunk], qids_all[qlo : qlo + qchunk],
+                    Bm, bid_arr, kk,
+                )
+
+    def _topk_block(Q, qids, Bm, bid_arr, kk) -> pd.DataFrame:
+            sims = Q @ Bm.T  # (nq_chunk, nb)
+            # exclude self-match by id (in place — no second (nq, nb) copy)
+            sims[qids[:, None] == bid_arr[None, :]] = -np.inf
             nb = sims.shape[1]
             take = min(kk, nb)
             # fully vectorized top-k assembly (no per-query Python loop):
@@ -113,7 +127,7 @@ def cosine_topk(
             # -inf (self-match) entries sort last, so finite entries form a
             # row prefix: ranks 1..take line up with the kept positions
             keep = np.isfinite(sort_sims).reshape(-1)
-            yield pd.DataFrame(
+            return pd.DataFrame(
                 {
                     "qid": np.repeat(qids, take)[keep],
                     "bid": sort_bids.reshape(-1)[keep],

@@ -1374,8 +1374,8 @@ def _sql_minhash_dedup() -> str:
     p = DD._MH_PRIME
     rpb = MH_HASHES // MH_BANDS
     sig_terms = ", ".join(
-        f"list_min(list_transform(hh, h -> (h * {2 * i + 1} + {7 * i + 3}) % {p}))"
-        for i in range(MH_HASHES)
+        f"list_min(list_transform(hh, h -> (h * {a} + {b}) % {p}))"
+        for a, b in DD.mh_params(MH_HASHES)
     )
     return f"""WITH {_sql_shingles(MH_K)},
 hs AS (

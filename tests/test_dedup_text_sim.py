@@ -224,9 +224,31 @@ def test_minhash_signature_rows_are_distinct(spark):
 
     for doc_id, text in texts:
         hs = [_md5_int(s) % P for s in shingles(text)]
-        want = [min((h * (2 * i + 1) + 7 * i + 3) % P for h in hs) for i in range(16)]
+        want = [
+            min((h * a + b) % P for h in hs) for a, b in DD.mh_params(16)
+        ]
         assert sigs[doc_id] == want
         assert len(set(want)) > 1  # the degenerate form can't pass this
+
+
+def test_mh_params_decorrelate_argmins():
+    """Adversarial case for the original small-coefficient family
+    (a_i = 2i+1): two shingle sets sharing only their MINIMUM base hash
+    produced identical full signatures (every a·h_min + b stayed minimal
+    for every i), so all bands collided — ~n²·J false candidate pairs at
+    corpus scale.  With the spread family the per-hash match probability
+    is the Jaccard (~1/61 here): assert near-independence."""
+    rng = np.random.default_rng(3)
+    P = DD._MH_PRIME
+    common = 1234  # far below every other draw → the shared min base hash
+    A = [common] + [int(v) for v in rng.integers(P // 2, P, 30)]
+    B = [common] + [int(v) for v in rng.integers(P // 2, P, 30)]
+    params = DD.mh_params(64)
+    sig_a = [min((a * h + b) % P for h in A) for a, b in params]
+    sig_b = [min((a * h + b) % P for h in B) for a, b in params]
+    matches = sum(x == y for x, y in zip(sig_a, sig_b))
+    # E[matches] = 64·J ≈ 1; the old family scored 64/64 here
+    assert matches <= 16, matches
 
 
 def test_simhash64_matches_reference(spark):
