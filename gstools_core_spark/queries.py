@@ -1958,7 +1958,7 @@ SQL_SOURCE_STATS = """SELECT CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGIN
 FROM documents GROUP BY 1"""
 
 
-# --- 34: multimodal (rows-only; decode stubbed, plumbing real) ------------------
+# --- 34: multimodal (decode stubbed, plumbing real) ------------------------------
 
 def q_multimodal_features(spark, sf_dir):
     _prep(spark)
@@ -1970,6 +1970,25 @@ def q_multimodal_features(spark, sf_dir):
         F.round(F.element_at("features", 1), 9).alias("f0"),
         F.round(F.element_at("features", 8), 9).alias("f7"),
     )
+
+
+# Full DuckDB replay of the fake decode: payload = 'MEDIA' || sha256hex(id)
+# (69 ASCII bytes), dim=8 chunking pads to 72 bytes → row 0 = bytes 1..9,
+# row 7 = bytes 64..69 + three zero pads; feature = (Σbytes / 9) / 255 in
+# the same IEEE division order as numpy's chunks.mean(axis=1)/255.0 (chunk
+# sums are exact integers, so accumulation order is irrelevant).
+SQL_MULTIMODAL_FEATURES = """
+WITH media AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         'MEDIA' || sha256(CAST(i AS VARCHAR)) AS s
+  FROM range(0, 200) t(i)
+)
+SELECT media_id, kind,
+  round(CAST(list_sum(list_transform(range(1,10), p -> ascii(substring(s, CAST(p AS INT), 1)))) AS DOUBLE) / 9.0 / 255.0, 9) AS f0,
+  round(CAST(list_sum(list_transform(range(64,70), p -> ascii(substring(s, CAST(p AS INT), 1)))) AS DOUBLE) / 9.0 / 255.0, 9) AS f7
+FROM media
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2055,5 +2074,5 @@ def registry() -> dict[str, tuple]:
             SQL_TOP_ORDERS_PER_SEGMENT,
         ),
         "source_stats": (q_source_stats, SQL_SOURCE_STATS),
-        "multimodal_features": (q_multimodal_features, None),
+        "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     }

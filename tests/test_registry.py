@@ -67,7 +67,7 @@ EXPECTED = [
 
 # rows-only entries (no SQL-expressible oracle); everything else must
 # carry a DuckDB oracle string
-NO_ORACLE = {"krige_ordinary", "krige_raster", "multimodal_features"}
+NO_ORACLE = {"krige_ordinary", "krige_raster"}
 
 
 def test_registry_is_exactly_the_pinned_50():
