@@ -268,7 +268,7 @@ def simhash_near_dups(
     sim_col: str = "simhash",
     max_hamming: int = 3,
     n_bands: int | None = None,
-    key_blocks: int = 1,
+    key_blocks: int | None = None,
     min_key_bits: int = 20,
 ) -> DataFrame:
     """ALL pairs within Hamming distance ≤ max_hamming via banding + exact
@@ -281,7 +281,7 @@ def simhash_near_dups(
     yields a candidate SUPERSET of the true pairs.  Requires
     ``n_bands − max_hamming ≥ key_blocks`` (anything less raises — the
     round-1 bug: 4 bands with max_hamming=16 silently missed spread-out
-    mismatches).  Default n_bands = max_hamming + 1, key_blocks = 1.
+    mismatches).  Default n_bands = max_hamming + key_blocks.
 
     Scale note (Manku et al., WWW'07 combination banding): with single-
     block keys the bucket space is only 2^(64/n_bands) — at web scale the
@@ -298,10 +298,28 @@ def simhash_near_dups(
     ValueError explains the quadratic in-bucket blowup — a radius-16
     single-block banding (17 bands of ~4-bit keys) cannot ship silently.
     Pass ``min_key_bits=0`` to opt out explicitly (tiny corpora / tests).
+
+    ``key_blocks=None`` (default) picks the SMALLEST combination size whose
+    narrowest key clears ``min_key_bits`` — e.g. max_hamming=3 → key_blocks=2
+    (C(5,2)=10 bands of ≥25-bit keys), so the defaults are always scale-sane
+    and never trip the guard for radii that admit a sound banding at all.
     """
     import itertools
     import math
 
+    if key_blocks is None:
+        key_blocks = 1
+        while True:
+            nb = n_bands if n_bands is not None else max_hamming + key_blocks
+            if nb - max_hamming >= key_blocks and nb <= 64:
+                w = simhash_band_widths(nb)
+                if sum(sorted(x for _, x in w)[:key_blocks]) >= min_key_bits:
+                    if math.comb(nb, key_blocks) <= 1024:
+                        break  # found the smallest sound+wide-enough size
+            if (n_bands is not None and key_blocks >= nb) or key_blocks >= 64:
+                key_blocks = 1  # no sound choice — fall through to the guard
+                break
+            key_blocks += 1
     if n_bands is None:
         n_bands = max_hamming + key_blocks
     if key_blocks < 1:

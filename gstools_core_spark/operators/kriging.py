@@ -431,8 +431,8 @@ def krige(
                             sill - np.einsum("mq,mq->m", W, V_b), 0.0
                         )
                     else:
-                        D_b = C_ext[idx] if ext_n else None  # (m, q, ext_n)
-                        Fd_b = drift_basis_b(P_b, D_b)  # (m, nd, q)
+                        E_b = C_ext[idx] if ext_n else None  # (m, q, ext_n)
+                        Fd_b = drift_basis_b(P_b, E_b)  # (m, nd, q)
                         Ft_b = drift_basis(
                             Tc[S], T_ext[lo : lo + chunk][S] if ext_n else None
                         ).T  # (m, nd)

@@ -907,8 +907,12 @@ def q_krige_universal_small(spark, sf_dir):
     the ring-neighborhood COUNT and the linear target value; the Spark
     side must reach it through the full distributed pipeline (ring-stamp
     cogroup, drift-extended LAPACK solve, ~1e-12 solve error « the 1e-6
-    rounding quantum).  krige_var is not closed-form and is pinned by the
-    golden/constructed pytests instead."""
+    rounding quantum).  n_cond is least(ring count, 512) on BOTH sides —
+    the operator truncates dense neighborhoods at max_cond=512 while the
+    estimate stays drift-space-exact for any subset, so the oracle holds
+    at every data density, not only the sparse gate SF.  krige_var is not
+    closed-form and is pinned by the golden/constructed pytests
+    instead."""
     _prep(spark)
     lin = F.lit(0.25) + F.lit(0.125) * F.col("x") - F.lit(0.0625) * F.col("y")
     pts = _docs_points(spark, sf_dir).select("id", "x", "y", lin.alias("val"))
@@ -936,7 +940,7 @@ cnt AS (
 )
 SELECT t.id,
        round(0.25 + 0.125 * t.x - 0.0625 * t.y, 6) AS krige_mean,
-       CAST(cnt.nc AS BIGINT) AS n_cond
+       CAST(least(cnt.nc, 512) AS BIGINT) AS n_cond
 FROM pts t JOIN cnt ON cnt.id = t.id
 WHERE cnt.nc >= 3"""
 
@@ -1038,7 +1042,19 @@ def _sql_krige_geo_small() -> str:
     engine's blocking recall is pinned separately (antimeridian pytests),
     so the oracle ranks ALL in-radius conditioning points per target by
     (dist, lat, lon, val) and solves the ≤2-point neighborhood in closed
-    form — cov(d) = exp(-((d/ls)·(d/ls))), sigma = sill = 1.01."""
+    form — cov(d) = exp(-((d/ls)·(d/ls))), sigma = sill = 1.01.
+
+    Residual risk (accepted): the operation ORDER is identical on both
+    sides, but numpy's and DuckDB's libm trig may differ by ~1 ulp, which
+    could flip a neighbor rank tie, the radius predicate, or a round(.,6)
+    boundary.  Measured margins with the hash-derived coordinates: the
+    tightest rank-1/rank-2 distance gap is 4.0e-5 rad (sf0.1; sf0.01 has
+    no 2-neighbor targets) and the closest distance to the 0.2 radius
+    boundary is 3.6e-6 rad (sf0.1) — both ≳1e11 ulps at this magnitude,
+    so a few-ulp libm disagreement cannot flip either.  If this ever
+    flaps on another host, coarsen the rounding quantum rather than
+    patching one engine (same policy as ADVICE round-2 on
+    krige_raster_small)."""
     from gstools_core_spark.functions.distance import sql_haversine
 
     sig = 1.01

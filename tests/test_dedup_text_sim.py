@@ -386,6 +386,36 @@ def test_simhash_narrow_key_guard(spark):
     assert len(out) == 1 and out[0]["hamming"] == 2
 
 
+def test_simhash_default_args_are_scale_sane(spark):
+    """DEFAULT arguments must both work and clear the min_key_bits guard:
+    key_blocks=None auto-picks the smallest combination size whose
+    narrowest key is ≥ min_key_bits (max_hamming=3 → key_blocks=2,
+    C(5,2)=10 bands of ≥25-bit keys) — and still returns exactly the
+    brute-force popcount ≤ 3 pair set."""
+    rng = np.random.default_rng(11)
+    sims = [int(v) for v in rng.integers(-(2**63), 2**63, size=25, dtype=np.int64)]
+    for i in range(10):
+        v = sims[i]
+        for b in rng.choice(64, size=int(rng.integers(1, 4)), replace=False):
+            v ^= 1 << int(b)
+        sims.append(_to_i64(v))
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sims)], "doc_id long, simhash long"
+    )
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in DD.simhash_near_dups(df, "doc_id").collect()  # all defaults
+    }
+    want = set()
+    for i in range(len(sims)):
+        for j in range(i + 1, len(sims)):
+            h = bin((sims[i] ^ sims[j]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want.add((i, j, h))
+    assert got == want
+    assert len(want) >= 8
+
+
 def test_ngram_uncapped_warns(spark):
     """max_df=None (quadratic posting-list join) emits the scale warning;
     the capped path stays silent."""
@@ -397,7 +427,9 @@ def test_ngram_uncapped_warns(spark):
     with pytest.warns(UserWarning, match="uncapped"):
         DD.ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.3).count()
     with warnings.catch_warnings():
-        warnings.simplefilter("error")
+        # only the contract under test — unrelated Deprecation/FutureWarnings
+        # from pyspark/pandas minors must not fail this
+        warnings.simplefilter("error", UserWarning)
         DD.ngram_jaccard_pairs(
             df, "text", "doc_id", k=3, threshold=0.3, max_df=100
         ).count()

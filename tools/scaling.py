@@ -86,7 +86,7 @@ def main():
         f"Same job, same input ({sf_dir}, {n_rows} rows), three parallelism",
         f"levels, one query per fresh JVM, best of {REPS} runs (shared-VM",
         "noise), HEAVY workload sizes (variogram rmax=3.0 → ~1B candidate",
-        "pairs; ordinary kriging, 50% conditioning, max_cond=512) so compute",
+        "pairs; ordinary kriging, 50% conditioning, max_cond=768) so compute",
         "dominates the ~8 s fixed per-query overhead.  minhash_dedup and",
         "ann_topk are the LLM-pipeline representatives (shingle→signature→",
         "band-join→verify; broadcast-matmul cosine top-k).",
@@ -122,8 +122,9 @@ def main():
         "Workload sizing note: in HEAVY mode every query is sized so",
         "distributed compute dominates the ~3-8 s fixed overhead (JVM/scan/",
         "planning/Python-worker pool) that strong scaling cannot touch:",
-        "minhash_dedup runs over 200k synthesized pages, ann_topk over 200k",
-        "synthesized vectors (~128 GMAC), krige at max_cond=768.  Efficiency",
+        "minhash_dedup runs over 500k synthesized independent-word pages,",
+        "ann_topk over 200k synthesized vectors (~128 GMAC), krige at",
+        "max_cond=768.  Efficiency",
         "below ~0.8 on the 2→8 pair for a query whose local[2] runtime is",
         "still under ~15 s is fixed-overhead dilution, not a plan defect —",
         "the per-stage work is embarrassingly cell/row-parallel.",
