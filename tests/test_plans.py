@@ -79,6 +79,34 @@ def test_directional_plan_stays_codegen(spark, sf_dir):
     assert "lambdafunction" not in plan.lower()
 
 
+def test_simhash_banding_is_equi_join(spark):
+    """The combination-banding candidate join must be a hash/sort-merge
+    equi-join on (band_idx, band_key) — never a cartesian/BNLJ pairing of
+    documents (the whole point of banding at corpus scale)."""
+    from gstools_core_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(i, i * 7919 - 40) for i in range(60)], "doc_id long, simhash long"
+    )
+    out = DD.simhash_near_dups(df, "doc_id", max_hamming=4, n_bands=6, key_blocks=2)
+    PL.assert_no_cartesian(out)
+    assert "Join" in PL.plan_string(out)
+
+
+def test_minhash_lsh_is_equi_join(spark):
+    """MinHash LSH candidate generation joins on (band, bucket-signature)
+    — no cartesian/BNLJ over documents."""
+    from gstools_core_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sigs = DD.minhash_signature(df, "text", num_hashes=16, shingle_k=2)
+    cands = DD.minhash_lsh_candidates(sigs, "doc_id", bands=4, rows_per_band=4)
+    PL.assert_no_cartesian(cands)
+
+
 def test_ivf_init_no_global_sort(spark):
     """IVF centroid init ("n_clusters smallest base ids") must compile to
     TakeOrderedAndProject — a per-partition bounded top-K heap merged at
