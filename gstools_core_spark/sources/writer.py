@@ -38,3 +38,33 @@ def read_cells(
     if prefixes is not None:
         df = df.where(F.col("cell_prefix").isin([int(p) for p in prefixes]))
     return df
+
+
+def write_bucketed_cells(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort: bool = True,
+) -> None:
+    """Bucketed (+ in-bucket sorted) parquet table keyed by the cell columns.
+
+    The 100-TB co-location layout: a table bucketed on its blocking-cell
+    key is ALREADY hash-partitioned on the join/grouping key at rest, so
+    every downstream equi-join against another table bucketed the same way
+    (cond vs targets, pages vs pages for the pair join's build side) and
+    every ``groupBy(cell)`` aggregation runs with ZERO Exchange — the
+    dominant shuffle of the kriging/variogram pipeline is paid once at
+    write time and amortized over every subsequent query.  ``sort=True``
+    additionally persists in-bucket order so sort-merge joins skip their
+    Sort.  Plan-pinned by tests/test_storage.py::
+    test_bucketed_join_and_agg_have_no_exchange.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.saveAsTable(table)

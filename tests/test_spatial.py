@@ -132,6 +132,50 @@ def test_cell_partitioned_write_prunes(spark, tmp_path):
     assert "PartitionFilters" in p and "cell_prefix" in p
 
 
+def test_bucketed_join_and_agg_have_no_exchange(spark):
+    """The co-location layout: two tables bucketed (+sorted) on the same
+    cell key must sort-merge-join AND groupBy-aggregate with ZERO Exchange
+    in the plan — the pipeline's dominant shuffle paid once at write time.
+    (Broadcast disabled via merge hint so the test exercises the SMJ path
+    a 100-TB build side would take.)"""
+    from gstools_core_spark.functions.cells import assign_grid_cells
+    from gstools_core_spark.sources.pages import geocode, synthesize_pages
+    from gstools_core_spark.sources.writer import write_bucketed_cells
+    from pyspark.sql import functions as F
+
+    pages = geocode(synthesize_pages(spark, 300)).select("url", "lat", "lon")
+    pts = assign_grid_cells(pages, 10.0, x_col="lat", y_col="lon").select(
+        "url", F.col("cx").alias("cell"), "lat", "lon"
+    )
+    try:
+        write_bucketed_cells(pts, "bk_pages_a", ["cell"], n_buckets=8)
+        write_bucketed_cells(
+            pts.where(F.col("lat") > 0), "bk_pages_b", ["cell"], n_buckets=8
+        )
+        a, b = spark.table("bk_pages_a"), spark.table("bk_pages_b")
+
+        agg = a.groupBy("cell").agg(F.count("*").alias("n"))
+        ap = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in ap, ap  # bucket layout == grouping key
+        assert agg.count() > 0
+
+        j2 = a.hint("merge").join(b, "cell")
+        p2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p2
+        assert "Exchange" not in p2, p2  # both sides pre-bucketed: no shuffle
+        # correctness: bucketed join == the same join on the unbucketed frames
+        plain = pts.join(
+            pts.where(F.col("lat") > 0).select(
+                "cell", F.col("url").alias("url_b")
+            ),
+            "cell",
+        )
+        assert j2.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_pages_a")
+        spark.sql("DROP TABLE IF EXISTS bk_pages_b")
+
+
 def test_knn_join_adaptive_expands_radius(spark):
     # base points far from the query: round-0 radius finds nothing,
     # expansion must still deliver k neighbors
