@@ -194,3 +194,48 @@ if _HAS_HYPOTHESIS:
             (int(a), int(b)) for a, b, dd in zip(ii, jj, d) if dd < max_dist
         }
         assert got == want
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n=st.integers(5, 40),
+        max_lat=st.sampled_from([20.0, 60.0, 85.0]),
+        max_dist=st.floats(0.01, 0.5),
+    )
+    def test_haversine_pair_join_matches_bruteforce_property(
+        spark, seed, n, max_lat, max_dist
+    ):
+        """Sphere sibling: for any global cloud (a third of the points
+        hugging the antimeridian so the wrapped lon grid is always live)
+        and any central-angle radius, the wrapped blocking grid yields
+        exactly the brute-force haversine pair set — including the
+        near-polar secant-degenerate fallback at max_lat=85°."""
+        import numpy as np
+
+        from gstools_core_spark.operators.pair_join import pair_join
+
+        rng = np.random.default_rng(seed)
+        lat = rng.uniform(-max_lat, max_lat, size=n)
+        lon = rng.uniform(-180.0, 180.0, size=n)
+        seam = rng.random(n) < (1 / 3)  # cluster a third at the seam
+        lon[seam] = ((rng.uniform(-3.0, 3.0, size=seam.sum()) + 180.0) % 360.0) - 180.0
+        rows = [(i, float(lat[i]), float(lon[i])) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, lat double, lon double")
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in pair_join(
+                df,
+                float(max_dist),
+                id_col="id",
+                coords=("lat", "lon"),
+                payload_cols=(),
+                haversine=True,
+            ).collect()
+        }
+        want = _brute_pairs_hav(lat, lon, max_dist)
+        assert got == want
