@@ -67,6 +67,25 @@ def cosine_topk_sql(
     )
 
 
+def _arrow_vec_matrix(data, id_name: str, vec_name: str):
+    """(ids int64, matrix float64) from an Arrow Table/RecordBatch with a
+    list<float> column — vectorized flatten+reshape instead of np.stack
+    over n Python objects (the per-row stack was the SERIAL term that
+    capped ann strong scaling: ~7 s of driver/worker time at 200k rows
+    regardless of core count)."""
+    vec = data.column(vec_name)
+    ids = data.column(id_name)
+    if hasattr(vec, "combine_chunks"):  # Table columns are ChunkedArrays
+        vec, ids = vec.combine_chunks(), ids.combine_chunks()
+    if vec.null_count:
+        raise ValueError(f"{vec_name} contains nulls")
+    n = len(vec)
+    flat = vec.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if n == 0 or flat.size % n:
+        raise ValueError(f"ragged {vec_name} lists ({flat.size} values / {n} rows)")
+    return ids.to_numpy(zero_copy_only=False).astype(np.int64), flat.reshape(n, -1)
+
+
 def cosine_topk(
     queries: DataFrame,
     base: DataFrame,
@@ -77,16 +96,22 @@ def cosine_topk(
 ) -> DataFrame:
     """Broadcast-base brute-force cosine top-k: one numpy matmul per Arrow
     batch of queries.  Exact; requires the base matrix to fit in memory
-    (otherwise use lsh_ann)."""
+    (otherwise use lsh_ann).  Arrow-native end to end: the base collects
+    via ``toArrow()`` and the query side runs ``mapInArrow`` — no
+    per-row object conversion anywhere (the pandas path spent more time
+    stacking 200k Python lists than in BLAS)."""
+    import pyarrow as pa
+
     spark = queries.sparkSession
-    base_pdf = base.select(F.col(base_id).alias("bid"), F.col(vec_col).alias("v")).toPandas()
-    B = np.stack(base_pdf["v"].to_numpy()).astype(np.float64)
-    B = B / np.linalg.norm(B, axis=1, keepdims=True)
-    bids = base_pdf["bid"].to_numpy(np.int64)
+    base_tbl = base.select(
+        F.col(base_id).alias("bid"), F.col(vec_col).alias("v")
+    ).toArrow()
+    bids, B = _arrow_vec_matrix(base_tbl, "bid", "v")
+    B /= np.linalg.norm(B, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((B, bids))
     kk = k
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         Bm, bid_arr = bc.value
         nb = len(bid_arr)
         # QUERY-CHUNKED: the similarity block is (chunk, nb) doubles —
@@ -96,19 +121,18 @@ def cosine_topk(
         # allocations page-fault and the matmul runs 10× slower than the
         # flops say).  No floor: a bigger base just loops more.
         qchunk = int(max(1, (8 << 20) // max(nb, 1)))
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            Q_all = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            qids_all, Q_all = _arrow_vec_matrix(batch, "qid", "v")
             Q_all /= np.linalg.norm(Q_all, axis=1, keepdims=True)
-            qids_all = pdf["qid"].to_numpy(np.int64)
             for qlo in range(0, len(qids_all), qchunk):
                 yield _topk_block(
                     Q_all[qlo : qlo + qchunk], qids_all[qlo : qlo + qchunk],
                     Bm, bid_arr, kk,
                 )
 
-    def _topk_block(Q, qids, Bm, bid_arr, kk) -> pd.DataFrame:
+    def _topk_block(Q, qids, Bm, bid_arr, kk) -> "pa.RecordBatch":
             sims = Q @ Bm.T  # (nq_chunk, nb)
             # exclude self-match by id (in place — no second (nq, nb) copy)
             sims[qids[:, None] == bid_arr[None, :]] = -np.inf
@@ -127,19 +151,23 @@ def cosine_topk(
             # -inf (self-match) entries sort last, so finite entries form a
             # row prefix: ranks 1..take line up with the kept positions
             keep = np.isfinite(sort_sims).reshape(-1)
-            return pd.DataFrame(
-                {
-                    "qid": np.repeat(qids, take)[keep],
-                    "bid": sort_bids.reshape(-1)[keep],
-                    "cos_sim": sort_sims.reshape(-1)[keep],
-                    "rank": np.tile(
-                        np.arange(1, take + 1, dtype=np.int32), len(qids)
-                    )[keep],
-                }
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(qids, take)[keep], type=pa.int64()),
+                    pa.array(sort_bids.reshape(-1)[keep], type=pa.int64()),
+                    pa.array(sort_sims.reshape(-1)[keep], type=pa.float64()),
+                    pa.array(
+                        np.tile(np.arange(1, take + 1, dtype=np.int32), len(qids))[
+                            keep
+                        ],
+                        type=pa.int32(),
+                    ),
+                ],
+                names=["qid", "bid", "cos_sim", "rank"],
             )
 
     q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("v"))
-    return q.mapInPandas(gen, "qid long, bid long, cos_sim double, rank int")
+    return q.mapInArrow(gen, "qid long, bid long, cos_sim double, rank int")
 
 
 def _assign_clusters_np(df: DataFrame, id_name: str, vec_col: str, centroids: np.ndarray, n_probe: int):
