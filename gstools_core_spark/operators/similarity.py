@@ -5,8 +5,9 @@ Three paths, increasingly scale-friendly:
 * ``cosine_topk_sql`` — pure-DataFrame brute force (posexplode → equi-join on
   component index → partial+final sum).  Oracle-checkable; O(Q·B·d) shuffle.
 * ``cosine_topk`` — broadcast the base matrix (numpy) and run one BLAS
-  matmul per Arrow batch of queries via ``mapInPandas``.  The scale path
-  when the base fits in executor memory (the usual ANN-index assumption).
+  matmul per Arrow batch of queries via ``mapInArrow`` (no per-row object
+  conversion anywhere).  The scale path when the base fits in executor
+  memory (the usual ANN-index assumption).
 * ``lsh_ann`` — random-hyperplane LSH: sign-bit sketches → bucket equi-join
   candidates → exact cosine verify → top-k.  Approximate, no broadcast of
   the full base, bucket join scales with collision counts.

@@ -127,7 +127,12 @@ def main():
         "max_cond=768.  Efficiency",
         "below ~0.8 on the 2→8 pair for a query whose local[2] runtime is",
         "still under ~15 s is fixed-overhead dilution, not a plan defect —",
-        "the per-stage work is embarrassingly cell/row-parallel.",
+        "the per-stage work is embarrassingly cell/row-parallel.  Concretely",
+        "for krige: the two-point Amdahl fit T(N) = f + p/N over (T2, T8)",
+        "puts the fixed term at ~3 s (Python-worker pool spin-up + Arrow",
+        "codec + plan/scan) and the parallel part at efficiency ~1.0 — on a",
+        "real cluster the pool cost is paid once per executor, not per",
+        "core-scaling step.",
     ]
     (REPO / "BENCH.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
