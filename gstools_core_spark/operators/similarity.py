@@ -172,27 +172,36 @@ def cosine_topk(
 
 
 def _assign_clusters_np(df: DataFrame, id_name: str, vec_col: str, centroids: np.ndarray, n_probe: int):
-    """mapInPandas: nearest ``n_probe`` centroid ids per vector (cosine) —
-    one BLAS matmul per Arrow batch; the wide-quantizer path."""
+    """mapInArrow: nearest ``n_probe`` centroid ids per vector (cosine) —
+    one BLAS matmul per Arrow batch, list column flattened vectorized
+    (same no-object-conversion rule as cosine_topk); the wide-quantizer
+    path."""
+    import pyarrow as pa
+
     C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     npb = n_probe
 
     def gen(batches):
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            ids, V = _arrow_vec_matrix(batch, id_name, vec_col)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
             sims = V @ C.T
             order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
-            rows = {
-                id_name: np.repeat(pdf[id_name].to_numpy(np.int64), npb),
-                "cluster": order.reshape(-1).astype(np.int64),
-                "probe_rank": np.tile(np.arange(npb, dtype=np.int64), len(pdf)),
-            }
-            yield pd.DataFrame(rows)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, npb), type=pa.int64()),
+                    pa.array(order.reshape(-1).astype(np.int64), type=pa.int64()),
+                    pa.array(
+                        np.tile(np.arange(npb, dtype=np.int64), len(ids)),
+                        type=pa.int64(),
+                    ),
+                ],
+                names=[id_name, "cluster", "probe_rank"],
+            )
 
-    return df.mapInPandas(gen, f"{id_name} long, cluster long, probe_rank long")
+    return df.mapInArrow(gen, f"{id_name} long, cluster long, probe_rank long")
 
 
 def _assign_clusters_expr(df: DataFrame, id_name: str, vec_col: str, centroids: np.ndarray, n_probe: int):
