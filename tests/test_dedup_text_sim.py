@@ -133,6 +133,36 @@ def test_cosine_topk_paths_agree(spark):
     assert len(s) == 15
 
 
+def test_cosine_topk_arrow_edges(spark):
+    """Edge cases of the Arrow-native path: k larger than the base (ranks
+    stop at nb, self-match dropped), queries spread over many partitions
+    (some Arrow batches empty), and a single-row base."""
+    rng = np.random.default_rng(4)
+    base_v = rng.normal(size=(4, 8))
+    base = _emb_df(spark, base_v)
+    queries = _emb_df(spark, base_v[:3], id0=0).repartition(16)  # empty batches
+    out = SIM.cosine_topk(queries, base, k=10, query_id="vec_id", base_id="vec_id")
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r["rank"])
+    # 4 base vectors minus the self-match = 3 neighbors per query
+    assert set(per_q) == {0, 1, 2}
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+    one = _emb_df(spark, base_v[:1], id0=1000)
+    out1 = SIM.cosine_topk(queries, one, k=5, query_id="vec_id", base_id="vec_id")
+    assert out1.count() == 3  # each query gets the single base vector
+
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="ragged"):
+        SIM.cosine_topk(queries, ragged, k=2, query_id="vec_id", base_id="vec_id")
+
+
 def test_ivf_ann_full_probe_is_exact(spark):
     rng = np.random.default_rng(8)
     base_v = rng.normal(size=(120, 8))
