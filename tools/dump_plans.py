@@ -64,6 +64,28 @@ def main():
         _small_star(_large_star(edges))
     )
 
+    # pipeline half: dedup candidate generation + ANN
+    from gstools_core_spark.operators import dedup as DD
+    from gstools_core_spark.operators import similarity as SIM
+
+    sigs = DD.minhash_signature(docs.select("doc_id", "text"), "text", num_hashes=32)
+    sections[
+        "minhash LSH candidates (per-row JVM signature → band explode → equi-join on (band, bucket))"
+    ] = DD.minhash_lsh_candidates(sigs, "doc_id", bands=4, rows_per_band=8)
+
+    hashed = DD.simhash64(docs.select("doc_id", "text"), "text")
+    sections[
+        "simhash near-dups (combination banding explode → equi-join → popcount verify)"
+    ] = DD.simhash_near_dups(hashed, "doc_id", max_hamming=4, n_bands=6, key_blocks=2)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sections[
+        "cosine top-k broadcast path (mapInArrow over query batches — single scan, no shuffle)"
+    ] = SIM.cosine_topk(
+        emb.where(F.col("vec_id") % 20 == 0), emb, k=5,
+        query_id="vec_id", base_id="vec_id",
+    )
+
     out = ["# PLANS — physical plans of the headline operators", ""]
     for title, df in sections.items():
         out += [f"## {title}", "", "```", PL.plan_string(df).strip(), "```", ""]
