@@ -98,5 +98,10 @@ def fingerprint64(texts: pd.Series) -> pd.Series:
                 _POW_CACHE = np.cumprod(
                     np.full(2 * len(data), _POLY_P, dtype=np.uint64), dtype=np.uint64
                 )
+            # np.sum's pairwise order is safe ONLY because uint64 addition
+            # mod 2^64 is associative — the DuckDB oracle's Horner fold
+            # reaches the identical residue.  Do NOT imitate this for float
+            # accumulations (CLAUDE.md: np.sum is pairwise; oracle folds
+            # are sequential).
             out[i] = np.sum(data * _POW_CACHE[: len(data)][::-1], dtype=np.uint64)
     return pd.Series(out.view(np.int64))

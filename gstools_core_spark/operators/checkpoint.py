@@ -14,21 +14,24 @@ Design (honest Spark, no hidden driver loops over rows):
   output (re-running a half-written bucket overwrites it);
 * lineage: every marker records the bucket's INPUT fingerprint (row count +
   order-independent key hash) and output row count.  On resume the
-  fingerprint of each completed bucket is recomputed against the current
-  source and stale buckets are reprocessed (source changed under the
-  checkpoint) — disable with ``verify_input=False`` to trade that one
-  aggregate scan per completed bucket for trust in source immutability.
+  fingerprints of ALL buckets are recomputed against the current source in
+  ONE grouped aggregate scan and stale buckets are reprocessed (source
+  changed under the checkpoint) — ``verify_input=False`` skips the check
+  for completed buckets and trusts source immutability.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from gstools_core_spark.functions.fingerprint import hash_fingerprint_aggs
 
 
 class CheckpointedRun:
@@ -43,24 +46,26 @@ class CheckpointedRun:
     def completed_buckets(self) -> set[int]:
         return {b for b in range(self.n_buckets) if self._marker(b).exists()}
 
-    @staticmethod
-    def _fingerprint(part: DataFrame, key_col: str) -> dict:
-        """Order-independent input fingerprint of one bucket: row count +
-        bitwise XOR of the key hash + decimal SUM of the key hash.  XOR
-        alone is blind to even-multiplicity changes (a duplicated key K
-        replaced by a duplicated K' cancels in both), so the sum component
-        covers multiplicity; decimal(38,0) accumulation cannot overflow
-        below ~10^19 rows per bucket (ANSI-safe — sum(long) would throw)."""
-        row = part.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64(F.col(key_col))).alias("h"),
-            F.sum(F.xxhash64(F.col(key_col)).cast("decimal(28,0)")).alias("s"),
-        ).collect()[0]
-        return {
-            "input_rows": int(row["n"]),
-            "input_hash": int(row["h"]) if row["h"] is not None else 0,
-            "input_sum": str(row["s"]) if row["s"] is not None else "0",
+    def _bucket_fingerprints(self, source: DataFrame, key_col: str) -> dict[int, dict]:
+        """Order-independent input fingerprint of EVERY bucket in ONE
+        grouped aggregate scan (a per-bucket ``where`` would rescan the
+        full source B times — the pmod predicate prunes nothing).  The
+        (count, xor, decimal-sum) triple is the shared recipe in
+        functions/fingerprint.py."""
+        bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets))
+        rows = source.groupBy(bucket.alias("_b")).agg(
+            *hash_fingerprint_aggs(F.xxhash64(F.col(key_col)))
+        ).collect()
+        fps = {
+            int(r["_b"]): {
+                "input_rows": int(r["n"]),
+                "input_hash": int(r["h"]) if r["h"] is not None else 0,
+                "input_sum": str(r["s"]) if r["s"] is not None else "0",
+            }
+            for r in rows
         }
+        empty = {"input_rows": 0, "input_hash": 0, "input_sum": "0"}
+        return {b: fps.get(b, dict(empty)) for b in range(self.n_buckets)}
 
     def run(
         self,
@@ -79,16 +84,26 @@ class CheckpointedRun:
         """
         bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets))
         done = self.completed_buckets()
+        # one grouped scan yields every bucket's fingerprint (needed for all
+        # new buckets, and for completed ones when verify_input)
+        fps = (
+            self._bucket_fingerprints(source, key_col)
+            if verify_input or len(done) < self.n_buckets
+            else {}
+        )
         processed = 0
         rows_written = 0
         stale = 0
         for b in range(self.n_buckets):
             part = source.where(bucket == b)
+            fp = fps.get(b)
             if b in done:
                 if not verify_input:
                     continue
-                marker = json.loads(self._marker(b).read_text())
-                fp = self._fingerprint(part, key_col)
+                try:
+                    marker = json.loads(self._marker(b).read_text())
+                except (json.JSONDecodeError, OSError):
+                    marker = {}  # unreadable marker: treat as stale, redo
                 if (
                     marker.get("input_rows") == fp["input_rows"]
                     and marker.get("input_hash") == fp["input_hash"]
@@ -96,27 +111,33 @@ class CheckpointedRun:
                 ):
                     continue
                 stale += 1  # source changed under the checkpoint: redo
-            else:
-                fp = self._fingerprint(part, key_col)
             if fail_after is not None and processed >= fail_after:
                 raise RuntimeError(f"injected failure after {processed} buckets")
             result = transform(part)
             path = str(self.out / f"bucket={b}")
             result.write.mode("overwrite").parquet(path)
             n = result.sparkSession.read.parquet(path).count()
-            self._marker(b).write_text(
-                json.dumps(
-                    {
-                        "bucket": b,
-                        "rows": n,
-                        "key_col": key_col,
-                        "input_rows": fp["input_rows"],
-                        "input_hash": fp["input_hash"],
-                        "input_sum": fp["input_sum"],
-                        "completed_at": time.time(),
-                    }
+            # ATOMIC marker: write a temp file, fsync, then rename into
+            # place — a crash mid-write can never leave a truncated marker
+            # that reads as completed
+            tmp = self._marker(b).with_suffix(".tmp")
+            with open(tmp, "w") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "bucket": b,
+                            "rows": n,
+                            "key_col": key_col,
+                            "input_rows": fp["input_rows"],
+                            "input_hash": fp["input_hash"],
+                            "input_sum": fp["input_sum"],
+                            "completed_at": time.time(),
+                        }
+                    )
                 )
-            )
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._marker(b))
             processed += 1
             rows_written += n
         return {
@@ -128,6 +149,11 @@ class CheckpointedRun:
 
     def read_output(self, spark) -> DataFrame:
         done = sorted(self.completed_buckets())
+        if not done:
+            raise ValueError(
+                f"no completed buckets under {self.out} — the run failed "
+                "before its first marker; nothing to read"
+            )
         paths = [str(self.out / f"bucket={b}") for b in done]
         return spark.read.parquet(*paths)
 

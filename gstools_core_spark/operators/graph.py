@@ -56,18 +56,13 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _fingerprint(e: DataFrame) -> tuple:
-    """Order-insensitive edge-set fingerprint: count + XOR + decimal SUM of
-    the edge hash.  XOR alone is blind to even-multiplicity swaps (two
-    distinct same-size edge sets whose hashes XOR-cancel across rounds
-    would falsely signal a fixpoint), so the sum component covers
-    multiplicity — mirrors checkpoint.Checkpointer._fingerprint.
-    decimal(28,0) accumulation is ANSI-safe (sum(long) would throw)."""
-    h = F.xxhash64(F.col("a"), F.col("b"))
-    row = e.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.bit_xor(h).alias("h"),
-        F.sum(h.cast("decimal(28,0)")).alias("s"),
-    ).first()
+    """Order-insensitive edge-set fingerprint for fixpoint detection —
+    the shared (count, xor, decimal-sum) triple from
+    functions/fingerprint.py (same recipe as checkpoint lineage; XOR alone
+    would be blind to even-multiplicity swaps across rounds)."""
+    from gstools_core_spark.functions.fingerprint import hash_fingerprint_aggs
+
+    row = e.agg(*hash_fingerprint_aggs(F.xxhash64(F.col("a"), F.col("b")))).first()
     return (row["n"], row["h"], str(row["s"]))
 
 

@@ -46,7 +46,10 @@ def stateful_user_sessions(
         (user_id,) = key
         ts_all = []
         for pdf in pdfs:
-            ts_all.extend(pdf["ts"].astype("datetime64[us]").astype("int64").tolist())
+            ts = pdf["ts"].dropna()  # NaT cannot cast to int64 (raises);
+            # null-ts rows carry no event time and are dropped, matching
+            # the windowed-agg path's null handling
+            ts_all.extend(ts.astype("datetime64[us]").astype("int64").tolist())
         pending = list(state.get[0]) if state.exists else []
         pending = sorted(pending + ts_all)
         if not pending:
@@ -115,12 +118,17 @@ def windowed_event_stats(
     events_path: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Stream events → per-(window, event_type) count/sum with a watermark.
 
     Runs with Trigger.AvailableNow into an in-memory sink and returns the
-    resulting DataFrame (batch-equivalent semantics; late rows beyond the
-    watermark would be dropped in continuous operation).
+    resulting DataFrame.  Output-mode semantics matter here: the default
+    ``complete`` retains EVERY window (batch-equivalent result for the
+    catch-up tests) but the watermark then neither evicts state nor drops
+    late rows — a continuous deployment should pass ``output_mode=
+    "update"`` (or "append"), where state stays bounded by the watermark
+    and rows later than it are dropped.
     """
     stream = file_stream_source(spark, events_path, max_files_per_trigger=4)
     agg = (
@@ -137,4 +145,4 @@ def windowed_event_stats(
             "value_sum",
         )
     )
-    return run_to_memory_sink(agg, "events_windowed", "complete")
+    return run_to_memory_sink(agg, "events_windowed", output_mode)

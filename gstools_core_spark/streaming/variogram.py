@@ -47,6 +47,19 @@ def streaming_variogram(
     # one file per micro-batch: append mode only emits a window once a LATER
     # batch's watermark passes it, so a single-batch source would emit
     # nothing — the continuous-operation shape is many files/epochs anyway
+    from pathlib import Path
+
+    if Path(events_path).resolve().is_file():
+        import warnings
+
+        warnings.warn(
+            "streaming_variogram over a SINGLE file runs as one micro-batch: "
+            "append mode emits a window only when a later batch's watermark "
+            "passes it, so the result will be empty — split the input into "
+            "multiple files (one per micro-batch)",
+            UserWarning,
+            stacklevel=2,
+        )
     stream = file_stream_source(spark, events_path, max_files_per_trigger=1)
     pts = (
         stream.select(
@@ -96,7 +109,13 @@ def streaming_variogram(
         left.join(right, ["jcx", "jcy", "w"])
         .where(~F.col("_same_cell") | (F.col("a_id") < F.col("b_id")))
         .withColumn("dist", dist)
-        .where(F.col("dist") < F.lit(max_dist))
+        # BOTH bin bounds, matching the batch operator and the kernel
+        # (kernels.variogram_unstructured: in_range = dist >= edges[0] —
+        # without the lower bound a sub-first-edge pair lands in bin 0)
+        .where(
+            (F.col("dist") >= F.lit(float(bin_edges[0])))
+            & (F.col("dist") < F.lit(max_dist))
+        )
         .withColumn("bin_id", bin_id_col(F.col("dist"), list(bin_edges)))
         .where(F.col("bin_id").isNotNull())
     )

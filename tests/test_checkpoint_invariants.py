@@ -205,7 +205,10 @@ def test_streaming_variogram_matches_kernel(spark, sf_dir, tmp_path):
         pq.write_table(pa.Table.from_pandas(pdf_all.iloc[i * step : (i + 1) * step]), f)
         os.utime(f, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
 
-    edges = [0.0, 2.0, 4.0, 6.0]
+    # first edge > 0: pairs closer than edges[0] must be EXCLUDED, exactly
+    # as the kernel's in_range lower bound does (regression: the streaming
+    # path once binned sub-first-edge pairs into bin 0)
+    edges = [1.0, 2.0, 4.0, 6.0]
     got = streaming_variogram(
         spark, src, edges, window="1 day", watermark="2 hours"
     )
