@@ -45,6 +45,11 @@ def summate_field(
     ``spectrum_factor``).  Returns (id, u) or (id, u_0..u_{d-1}).
     """
     d = len(coords)
+    if variant not in ("scalar", "incompr", "fourier"):
+        raise ValueError(
+            f"unknown variant {variant!r}: expected 'scalar', 'incompr' or "
+            "'fourier' (a typo would silently compute the scalar field)"
+        )
     if cov_samples.shape[0] != d:
         raise ValueError(f"cov_samples dim {cov_samples.shape[0]} != len(coords) {d}")
     if variant == "fourier" and spectrum_factor is None:

@@ -38,9 +38,19 @@ def _weighted_linear_fit(one_minus_cor, gamma, w, fit_nugget):
         else:
             var = (sw * swag - swa * swg) / det
             nug = (swaa * swg - swa * swag) / det
-        if var < 0.0 or nug < 0.0:  # clamp to the feasible boundary
-            var = max(float((w * a * gamma).sum() / max((w * a * a).sum(), 1e-300)), 0.0)
-            nug = 0.0
+        if var < 0.0 or nug < 0.0:
+            # the constrained optimum lies on a boundary — solve BOTH
+            # single-parameter boundary fits and keep the lower SSE
+            # (forcing nug=0 when var<0 inverts the right answer: a
+            # decreasing variogram wants var=0, nug=weighted mean)
+            var_b = max(float(swag / max(swaa, 1e-300)), 0.0)  # nug = 0
+            nug_b = max(float(swg / max(sw, 1e-300)), 0.0)  # var = 0
+            r1 = var_b * a - gamma
+            r2 = nug_b - gamma
+            if float((w * r1 * r1).sum()) <= float((w * r2 * r2).sum()):
+                var, nug = var_b, 0.0
+            else:
+                var, nug = 0.0, nug_b
     else:
         var = max(float((w * a * gamma).sum() / max((w * a * a).sum(), 1e-300)), 0.0)
         nug = 0.0
@@ -84,8 +94,14 @@ def fit_variogram(
         a = 1.0 - probe.cor(h / ls)
         return _weighted_linear_fit(a, gamma, w, fit_nugget)
 
-    # log-spaced grid over plausible length scales, then golden-section
-    lo, hi = float(h.min()) / 4.0, float(h.max()) * 4.0
+    # log-spaced grid over plausible length scales, then golden-section.
+    # A zero-lag bin (h = 0, GSTools-style) stays in the weighted fit
+    # (it informs the nugget) but must not drive the log grid — log(0)
+    # would raise
+    hpos = h[h > 0]
+    if len(hpos) == 0:
+        raise ValueError("need at least one bin with positive lag to fit")
+    lo, hi = float(hpos.min()) / 4.0, float(hpos.max()) * 4.0
     grid = np.exp(np.linspace(math.log(lo), math.log(hi), 60))
     best_ls = min(grid, key=lambda ls: sse_at(float(ls))[2])
     gl, gh = best_ls / 1.6, best_ls * 1.6

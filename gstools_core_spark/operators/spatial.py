@@ -192,10 +192,14 @@ def knn_join_adaptive(
     results = None
     r = radius
     for round_i in range(max_rounds):
+        # localCheckpoint per round (CLAUDE.md iterative-loop rule): without
+        # it round r's plan embeds every earlier round's ring join — the
+        # join is re-executed by both the counts aggregate and the semi
+        # join, and the logical plan doubles per round
         found = knn_join(
             remaining, base, k=k, radius=r, query_id=query_id,
             base_id=base_id, coords=coords,
-        ).withColumn("radius_round", F.lit(round_i))
+        ).withColumn("radius_round", F.lit(round_i)).localCheckpoint(eager=True)
         counts = found.groupBy("qid").agg(F.count(F.lit(1)).alias("_n"))
         satisfied = counts.where(F.col("_n") >= k).select("qid")
         done = found.join(satisfied, "qid", "left_semi")
@@ -206,7 +210,7 @@ def knn_join_adaptive(
             break
         remaining = remaining.join(
             satisfied.withColumnRenamed("qid", query_id), query_id, "left_anti"
-        )
+        ).localCheckpoint(eager=True)
         r *= growth
     # a query can appear from multiple rounds only via the final partial
     # pass; dedupe keeping the earliest round
@@ -352,19 +356,27 @@ def point_in_polygon(
             j = i
         return pd.Series(inside)
 
-    in_bbox = (
+    # null-safe bbox predicate (a null coordinate is 'outside')
+    in_bbox = F.coalesce(
         (F.col(x_col) >= xmin)
         & (F.col(x_col) <= xmax)
         & (F.col(y_col) >= ymin)
-        & (F.col(y_col) <= ymax)
+        & (F.col(y_col) <= ymax),
+        F.lit(False),
     )
+    # A Python UDF referenced inside when() is EXTRACTED by Catalyst into
+    # an ArrowEvalPython node and evaluated for EVERY row — the branch
+    # condition only selects among already-computed values.  To actually
+    # skip Python, the rows must be SPLIT with filters first (the UDF then
+    # sits above a Filter in its own union branch) and recombined with
+    # unionByName; each branch re-reads the (columnar, pushdown-pruned)
+    # scan — at scale that trade is the whole point of the cover.
     if cell_size is None:
-        return points.withColumn(
-            out_col,
-            F.when(in_bbox, _ray_cast(F.col(x_col), F.col(y_col))).otherwise(
-                F.lit(False)
-            ),
+        inside_part = points.where(in_bbox).withColumn(
+            out_col, _ray_cast(F.col(x_col), F.col(y_col))
         )
+        outside_part = points.where(~in_bbox).withColumn(out_col, F.lit(False))
+        return inside_part.unionByName(outside_part)
 
     interior, boundary = polygon_cell_cover(polygon, cell_size)
     enc = lambda c: (c[0] << 21) ^ (c[1] & ((1 << 21) - 1))  # noqa: E731
@@ -375,16 +387,32 @@ def point_in_polygon(
         .cast("long")
         .bitwiseAND(F.lit((1 << 21) - 1))
     )
-    interior_keys = [enc(c) for c in interior] or [-(1 << 62)]
-    boundary_keys = [enc(c) for c in boundary] or [-(1 << 62)]
-    return points.withColumn(
-        out_col,
-        F.when(key.isin(interior_keys) & in_bbox, F.lit(True))
-        .when(
-            key.isin(boundary_keys) & in_bbox,
-            _ray_cast(F.col(x_col), F.col(y_col)),
-        )
-        .otherwise(F.lit(False)),
+    # cover membership via a BROADCAST join, not isin literal lists — a
+    # fine cell_size would otherwise inflate the plan with thousands of
+    # 64-bit literals (the blowup pair_join's salting explicitly avoids)
+    spark = points.sparkSession
+    cover_rows = [(enc(c), True) for c in interior] + [
+        (enc(c), False) for c in boundary
+    ]
+    if not cover_rows:  # degenerate polygon: nothing interior or boundary
+        return points.withColumn(out_col, F.lit(False))
+    cover = spark.createDataFrame(cover_rows, "_pipck long, _pipint boolean")
+    tagged = points.withColumn("_pipck", key).join(
+        F.broadcast(cover), "_pipck", "left"
+    )
+    interior_part = tagged.where(
+        in_bbox & F.col("_pipint").eqNullSafe(F.lit(True))
+    ).withColumn(out_col, F.lit(True))
+    boundary_part = tagged.where(
+        in_bbox & F.col("_pipint").eqNullSafe(F.lit(False))
+    ).withColumn(out_col, _ray_cast(F.col(x_col), F.col(y_col)))
+    outside_part = tagged.where(
+        ~in_bbox | F.col("_pipint").isNull()
+    ).withColumn(out_col, F.lit(False))
+    return (
+        interior_part.unionByName(boundary_part)
+        .unionByName(outside_part)
+        .drop("_pipck", "_pipint")
     )
 
 

@@ -52,13 +52,17 @@ def synthesize_pages(spark: SparkSession, n: int, partitions: int | None = None)
 
     words_arr = F.array(*[F.lit(w) for w in WORDS])
     n_words = 20 + F.pmod(F.col("id") * 7, F.lit(80))
+    # word selection hashes (id, position) — a multiplicative mix like
+    # id * 2654435761 THROWS under Spark 4 ANSI mode once id exceeds
+    # 2^63 / 2654435761 ≈ 3.5e9, far below the engine's target row count;
+    # xxhash64 never overflows and kills the old 48-word cyclic structure
     text = F.concat_ws(
         " ",
         F.transform(
             F.sequence(F.lit(1), n_words),
             lambda k: F.element_at(
                 words_arr,
-                (F.pmod(F.col("id") * 2654435761 + k * 48271, F.lit(len(WORDS))) + 1).cast("int"),
+                (F.pmod(F.xxhash64(F.col("id"), k), F.lit(len(WORDS))) + 1).cast("int"),
             ),
         ),
     )
@@ -81,7 +85,6 @@ def synthesize_pages(spark: SparkSession, n: int, partitions: int | None = None)
         F.col("id").alias("page_id"),
         url.alias("url"),
         warc_ts.alias("warc_ts"),
-        F.col("id").alias("_tid"),
         lang.alias("lang"),
         text.alias("text"),
     )

@@ -107,6 +107,26 @@ def test_minhash_lsh_is_equi_join(spark):
     PL.assert_no_cartesian(cands)
 
 
+def test_pip_udf_only_on_boundary_rows(spark, sf_dir):
+    """A Python UDF inside when() is extracted by Catalyst and evaluated
+    for EVERY row; point_in_polygon must instead split rows with filters
+    so only boundary-cell points reach the ray-cast (regression: the
+    cell-cover routing used to be dead weight).  The plan must contain
+    exactly one Python-eval node, and a Filter must sit BELOW it in its
+    union branch (children print after parents in plan text)."""
+    from gstools_core_spark.operators.spatial import point_in_polygon
+
+    pts = _pts(spark, sf_dir)
+    out = point_in_polygon(
+        pts, [(-5.0, -5.0), (5.0, -5.0), (5.0, 5.0), (-5.0, 5.0)], cell_size=2.0
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_py = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    assert n_py == 1, plan
+    idx = max(plan.find("ArrowEvalPython"), plan.find("BatchEvalPython"))
+    assert "Filter" in plan[idx:], "ray-cast must apply only to filtered rows"
+
+
 def test_ivf_init_no_global_sort(spark):
     """IVF centroid init ("n_clusters smallest base ids") must compile to
     TakeOrderedAndProject — a per-partition bounded top-K heap merged at
