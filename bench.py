@@ -340,8 +340,15 @@ def main():
                 env=env,
                 capture_output=True,
                 text=True,
-                check=True,
             )
+            if out.returncode != 0:
+                # surface the child's Spark stack trace — a bare
+                # CalledProcessError hides the only diagnostic there is
+                _sys.stderr.write(out.stderr[-8000:])
+                raise RuntimeError(
+                    f"bench child for {name!r} exited {out.returncode} "
+                    "(stderr above)"
+                )
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             times[name] = json.loads(line)["queries"][name]
 
@@ -355,7 +362,10 @@ def main():
     total = sum(times[n] for n in headline) or sum(times.values())
     pages_per_sec = round(n_rows * len(headline) / total, 1) if headline else None
 
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:  # "…/sf0.1" → 0.1; a dir not named that way must not throw away
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])  # the finished run
+    except ValueError:
+        sf = None
     print(
         json.dumps(
             {
@@ -363,7 +373,7 @@ def main():
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
-                "sf": float(sf),
+                "sf": sf,
                 "cpus": cpus,
                 "input_rows": n_rows,
                 "pages_per_sec": pages_per_sec,

@@ -58,23 +58,33 @@ def morton_np(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
 
 def geo_cell_col(lat: Column, lon: Column, res: int) -> Column:
     """Morton cell id of a lat/lon point at resolution ``res``
-    (2^res × 2^res grid over the globe).  Parent at res-1 = cell >> 2."""
+    (2^res × 2^res grid over the globe).  Parent at res-1 = cell >> 2.
+    Both index edges are clamped: a coordinate below the domain (wrapped
+    or dirty data) would give a NEGATIVE index whose bit interleave is
+    not prefix-hierarchical and can collide with a legitimate cell."""
     n = float(1 << res)
-    ix = F.least(
-        F.floor((lon - F.lit(LON0)) / F.lit(LON_SPAN / n)).cast("long"),
-        F.lit((1 << res) - 1),
+    ix = F.greatest(
+        F.least(
+            F.floor((lon - F.lit(LON0)) / F.lit(LON_SPAN / n)).cast("long"),
+            F.lit((1 << res) - 1),
+        ),
+        F.lit(0).cast("long"),
     )
-    iy = F.least(
-        F.floor((lat - F.lit(LAT0)) / F.lit(LAT_SPAN / n)).cast("long"),
-        F.lit((1 << res) - 1),
+    iy = F.greatest(
+        F.least(
+            F.floor((lat - F.lit(LAT0)) / F.lit(LAT_SPAN / n)).cast("long"),
+            F.lit((1 << res) - 1),
+        ),
+        F.lit(0).cast("long"),
     )
     return morton_col(ix, iy)
 
 
 def geo_cell_np(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
     n = float(1 << res)
-    ix = np.minimum(np.floor((lon - LON0) / (LON_SPAN / n)).astype(np.int64), (1 << res) - 1)
-    iy = np.minimum(np.floor((lat - LAT0) / (LAT_SPAN / n)).astype(np.int64), (1 << res) - 1)
+    hi = (1 << res) - 1
+    ix = np.clip(np.floor((lon - LON0) / (LON_SPAN / n)).astype(np.int64), 0, hi)
+    iy = np.clip(np.floor((lat - LAT0) / (LAT_SPAN / n)).astype(np.int64), 0, hi)
     return morton_np(ix, iy)
 
 

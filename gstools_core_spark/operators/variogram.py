@@ -57,15 +57,20 @@ def _diffs_exploded(
 
     ``vals_array=True``: val_cols[0] is an ArrayType(Double) column (the
     SURVEY §1.4 multi-realization layout) — element-wise differences via
-    zip_with."""
+    arrays_zip + struct-field subtraction, NOT zip_with(lambda): a
+    higher-order lambda on the hot pair stream is interpreted and breaks
+    whole-stage codegen (the 8× directional-variogram lesson; unequal
+    lengths pad with null on both forms and are dropped by the filter)."""
     if vals_array:
         v = val_cols[0]
-        diffs = F.zip_with(
-            F.col(f"a_{v}"), F.col(f"b_{v}"), lambda a, b: a - b
-        )
+        out = pairs.withColumn(
+            "_z", F.explode(F.arrays_zip(F.col(f"a_{v}"), F.col(f"b_{v}")))
+        ).withColumn(
+            "f_diff", F.col(f"_z.a_{v}") - F.col(f"_z.b_{v}")
+        ).drop("_z")
     else:
         diffs = F.array(*[F.col(f"a_{v}") - F.col(f"b_{v}") for v in val_cols])
-    out = pairs.withColumn("f_diff", F.explode(diffs))
+        out = pairs.withColumn("f_diff", F.explode(diffs))
     return out.where(F.col("f_diff").isNotNull() & ~F.isnan(F.col("f_diff")))
 
 
@@ -269,7 +274,10 @@ def variogram_structured(
     dense over lags 0..nx-1 (variogram.rs:144-146).
     """
     spark = grid.sparkSession
-    nx = grid.agg(F.max(i_col)).collect()[0][0] + 1
+    nx_max = grid.agg(F.max(i_col)).collect()[0][0]
+    if nx_max is None:
+        raise ValueError("variogram_structured: empty grid (no rows)")
+    nx = nx_max + 1
 
     cols = [i_col, j_col, val_col] + ([mask_col] if mask_col else [])
     a = grid.select(*[F.col(c).alias(f"a_{c}") for c in cols])
@@ -323,23 +331,35 @@ def variogram_structured_fast(
     the distributed axis is the big one (SURVEY.md §4.2).
     """
     spark = grid.sparkSession
-    nx = grid.agg(F.max(i_col)).collect()[0][0] + 1
+    nx_max = grid.agg(F.max(i_col)).collect()[0][0]
+    if nx_max is None:
+        raise ValueError("variogram_structured_fast: empty grid (no rows)")
+    nx = nx_max + 1
     est = estimator
 
     def per_column(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("i")
+        # (i, j) is unique on a grid, so the scatter below is
+        # order-independent — no sort needed
         f = pdf["val"].to_numpy(dtype=np.float64)
         ii = pdf["i"].to_numpy(dtype=np.int64)
         dense = np.full(nx, np.nan)
         dense[ii] = f
+        # pair selection keys on PRESENCE (and mask), not isnan(val): a row
+        # present with val=NaN must still be counted and poison its lags'
+        # vsum with NaN — exactly what the join path's F.sum does and what
+        # kernels.variogram_structured (no NaN skip) computes; missing
+        # grid rows drop out of both paths identically
+        present = np.zeros(nx, dtype=bool)
+        present[ii] = True
         if "masked" in pdf.columns:
             dm = np.zeros(nx, dtype=bool)
             dm[ii] = pdf["masked"].to_numpy(dtype=bool)
+            present &= ~dm
             dense = np.where(dm, np.nan, dense)
         lags, vsums, cnts = [], [], []
         for k in range(1, nx):
             diff = dense[: nx - k] - dense[k:]
-            ok = ~np.isnan(diff)
+            ok = present[: nx - k] & present[k:]
             lags.append(k)
             if est == "c":
                 vsums.append(float(np.sum(np.sqrt(np.abs(diff[ok])))))

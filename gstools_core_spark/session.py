@@ -25,8 +25,10 @@ _BLAS_VARS = (
 
 
 def _pin_blas_threads() -> None:
+    # force-set (not setdefault): an inherited OMP_NUM_THREADS=32 from a
+    # shell/scheduler is exactly the oversubscription this must prevent
     for var in _BLAS_VARS:
-        os.environ.setdefault(var, "1")
+        os.environ[var] = "1"
 
 
 def get_session(

@@ -28,12 +28,21 @@ def is_table_identifier(source: str) -> bool:
 
 def iceberg_configured(spark: SparkSession, catalog: str | None = None) -> bool:
     """True if an Iceberg (or any DSv2) catalog is configured on the
-    session — i.e. some ``spark.sql.catalog.<name>`` conf key exists."""
-    confs = spark.sparkContext.getConf().getAll()
-    prefix = "spark.sql.catalog."
+    session — i.e. some ``spark.sql.catalog.<name>`` conf key exists.
+
+    Reads RuntimeConfig (not the JVM SparkConf snapshot) so catalogs
+    registered after session creation — the standard notebook flow — are
+    seen; a specific ``catalog`` is matched on the exact key, not a name
+    prefix (``ice`` must not match ``iceberg_other``)."""
     if catalog:
-        prefix += catalog
-    return any(k.startswith(prefix) for k, _ in confs)
+        return spark.conf.get(f"spark.sql.catalog.{catalog}", None) is not None
+    prefix = "spark.sql.catalog."
+    runtime = {k for k, _ in spark.sparkContext.getConf().getAll()}
+    try:  # RuntimeConfig covers post-creation spark.conf.set(...) keys
+        runtime |= set(spark.conf.getAll)  # pyspark>=3.4 property
+    except Exception:
+        pass
+    return any(k.startswith(prefix) for k in runtime)
 
 
 def read_table(spark: SparkSession, source: str, fmt: str = "auto") -> DataFrame:
@@ -55,15 +64,21 @@ def write_table(
     partition_by: tuple = (),
     mode: str = "overwrite",
 ) -> None:
-    """Write ``df`` to a catalog table (``createOrReplace`` through the
-    DSv2 writer — Iceberg's transactional path) or a parquet path."""
+    """Write ``df`` to a catalog table through the DSv2 writer (Iceberg's
+    transactional path: ``mode='overwrite'`` → createOrReplace,
+    ``mode='append'`` → append) or a parquet path."""
     if fmt == "table" or (fmt == "auto" and is_table_identifier(target)):
         w = df.writeTo(target)
         if partition_by:
             from pyspark.sql import functions as F
 
             w = w.partitionedBy(*[F.col(c) for c in partition_by])
-        w.createOrReplace()
+        if mode == "append":
+            w.append()
+        elif mode == "overwrite":
+            w.createOrReplace()
+        else:
+            raise ValueError(f"unsupported mode {mode!r} for table targets")
         return
     writer = df.write.mode(mode)
     if partition_by:
