@@ -45,16 +45,12 @@ class CovModel:
 
 
 class Gaussian(CovModel):
-    """cor(h) = exp(−h²)."""
+    """cor(h) = exp(−h²).  Base ``cov`` (var · cor(h/ls)) performs the
+    identical divide→square→exp→multiply sequence, so golden tests are
+    bitwise-stable without an override."""
 
     def cor(self, hs):
         return np.exp(-(hs**2))
-
-    def cov(self, h):
-        # keep the exact arithmetic of the original GaussianModel so golden
-        # tests remain bitwise-stable
-        h = np.asarray(h, dtype=np.float64)
-        return self.var * np.exp(-((h / self.len_scale) ** 2))
 
 
 class Exponential(CovModel):

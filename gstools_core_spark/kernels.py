@@ -90,7 +90,12 @@ def haversine_dist(pos_a: np.ndarray, pos_b: np.ndarray) -> np.ndarray:
     dlon = np.radians(pos_a[1] - pos_b[1])
     sdlat = np.sin(dlat / 2.0)
     sdlon = np.sin(dlon / 2.0)
-    arg = sdlat * sdlat + np.cos(lat1) * np.cos(lat2) * sdlon * sdlon
+    # clamp: rounding can push arg one ulp above 1 for near-antipodal
+    # pairs (sqrt(1-arg) = NaN); same least/minimum clamp in
+    # functions/distance.py and sql_haversine — all engines bitwise-match
+    arg = np.minimum(
+        sdlat * sdlat + np.cos(lat1) * np.cos(lat2) * sdlon * sdlon, 1.0
+    )
     return 2.0 * np.arctan2(np.sqrt(arg), np.sqrt(1.0 - arg))
 
 

@@ -130,6 +130,11 @@ def minhash_lsh_candidates(
     shuffle, cheaper compares; collision odds ~2⁻⁶⁴ per pair, and any
     collision only ADDS a candidate that exact verification then rejects).
     """
+    if rows_per_band < 1:
+        raise ValueError(
+            f"rows_per_band ({rows_per_band}) must be >= 1 — a zero-width "
+            "band key degenerates the self-join to all pairs"
+        )
 
     def band_key(b: int):
         k = F.concat_ws(
@@ -198,6 +203,11 @@ def minhash_dedup(
     the corpus-sized tables are untouched."""
     from gstools_core_spark.operators.cache import track
 
+    if not 1 <= bands <= num_hashes:
+        raise ValueError(
+            f"bands ({bands}) must be in [1, num_hashes={num_hashes}] — "
+            "bands > num_hashes gives empty band keys and an all-pairs join"
+        )
     # persist the signature table: the band self-join and the verify join
     # each read it from both sides — without this the (expensive) shingle +
     # signature expressions recompute 4×.  At warehouse scale this is the
@@ -226,14 +236,29 @@ def simhash64(
 
     With the portable hash, bits 0..59 come from h1 (md5 hex 1..15) and
     bits 60..63 from the low bits of h2 (md5 hex 16..30) — the same bit
-    source the SQL oracle reads."""
+    source the SQL oracle reads.  The xx path draws h2 from an
+    independently SEEDED xxhash64 — ``h1 >> 32`` would make bits 60..63
+    exact copies of bits 32..35 (hamming double-counting, missed pairs,
+    60 bits of effective entropy).
+
+    The per-k aggregate lambdas below differ in the PYTHON int ``k``
+    passed to shiftrightunsigned (a literal in the expression, not a
+    captured lambda variable) — the CLAUDE.md PySpark-4.1 lambda-collapse
+    class; test_simhash64_matches_reference pins every bit row-for-row
+    against a pure-Python reference, so a Spark point release extending
+    CSE to these shapes fails loudly, not silently."""
     tokens = F.split(F.col(text_col), " ")
     if hash_fn == "xx":
         tok_h1 = F.transform(tokens, lambda t: F.xxhash64(t))
-        tok_h2 = F.transform(tokens, lambda t: F.shiftrightunsigned(F.xxhash64(t), 32))
+        tok_h2 = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(977)))
     else:
         tok_h1 = F.transform(tokens, lambda t: H.portable_hash(t))
         tok_h2 = F.transform(tokens, lambda t: H.portable_hash2(t))
+    # materialize the hashed-token arrays ONCE: the 64 bit-sum aggregates
+    # below would otherwise each embed (and re-evaluate) the full md5/xx
+    # token-hash expression tree — interpreted HOFs get no reliable CSE,
+    # so the portable path recomputed every token hash ~60× per row
+    base = df.withColumn("_th1", tok_h1).withColumn("_th2", tok_h2)
 
     def _bit_sum(arr: Column, k: int):
         def merge(acc, h):
@@ -243,11 +268,15 @@ def simhash64(
 
     sim = None
     for k in range(64):
-        s = _bit_sum(tok_h1, k) if k < 60 else _bit_sum(tok_h2, k - 60)
+        s = (
+            _bit_sum(F.col("_th1"), k)
+            if k < 60
+            else _bit_sum(F.col("_th2"), k - 60)
+        )
         bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, k)
         sim = term if sim is None else sim.bitwiseOR(term)
-    return df.withColumn(out_col, sim)
+    return base.withColumn(out_col, sim).drop("_th1", "_th2")
 
 
 def simhash_band_widths(n_bands: int, n_bits: int = 64) -> list[tuple[int, int]]:
@@ -396,8 +425,11 @@ def simhash_near_dups(
             .cast("long")
             .alias("hamming"),
         )
-        .distinct()
+        # verify BEFORE distinct: hamming is cheap/codegen'd and per-pair
+        # deterministic, so filtering first shrinks the distinct's shuffle
+        # by the (typically vast) fraction of candidates that fail popcount
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

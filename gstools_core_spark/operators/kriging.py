@@ -155,8 +155,12 @@ def krige(
     intact; all neighborhood distances are great-circle central angles
     through the golden-pinned kernel.
     """
-    import itertools
-
+    if method not in ("simple", "ordinary", "universal"):
+        raise ValueError(
+            f"unknown kriging method {method!r}: expected 'simple', "
+            "'ordinary' or 'universal' (a typo would silently run the "
+            "universal drift-extended solve)"
+        )
     d = len(coords)
     wrap_n: int | None = None
     if haversine:
@@ -283,7 +287,16 @@ def krige(
             else:
                 center = (np.asarray(key, dtype=np.float64) + 0.5) * radius
                 d2 = np.sum((C_pts - center) ** 2, axis=1)
-            keep = np.argpartition(d2, max_cond)[:max_cond]
+            # canonical order (center distance, coords…, value): a bare
+            # argpartition breaks distance ties by shuffle arrival order,
+            # making the kept neighborhood — and the kriged values —
+            # nondeterministic across runs (the knn path's lexsort rule)
+            order = np.lexsort(
+                (cv,)
+                + tuple(C_pts[:, k] for k in range(C_pts.shape[1] - 1, -1, -1))
+                + (d2,)
+            )
+            keep = order[:max_cond]
             C_pts, cv = C_pts[keep], cv[keep]
             if ext_n:
                 C_ext = C_ext[keep]
