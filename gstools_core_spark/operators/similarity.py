@@ -80,10 +80,21 @@ def _arrow_vec_matrix(data, id_name: str, vec_name: str):
         vec, ids = vec.combine_chunks(), ids.combine_chunks()
     if vec.null_count:
         raise ValueError(f"{vec_name} contains nulls")
+    if ids.null_count:
+        # NaN→int64 is an undefined cast (INT64_MIN garbage ids)
+        raise ValueError(f"{id_name} contains nulls")
     n = len(vec)
+    if n == 0:
+        raise ValueError(f"empty {vec_name} batch")
+    # constant-width check on the list OFFSETS: a plain divisibility test
+    # misses ragged sets whose total length happens to divide n (e.g.
+    # rows of 63 and 65 elements reshape silently into shifted garbage)
+    widths = np.diff(np.asarray(vec.offsets))
+    if (widths != widths[0]).any():
+        raise ValueError(
+            f"ragged {vec_name} lists (widths {sorted(set(widths.tolist()))})"
+        )
     flat = vec.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    if n == 0 or flat.size % n:
-        raise ValueError(f"ragged {vec_name} lists ({flat.size} values / {n} rows)")
     return ids.to_numpy(zero_copy_only=False).astype(np.int64), flat.reshape(n, -1)
 
 
@@ -100,8 +111,17 @@ def cosine_topk(
     (otherwise use lsh_ann).  Arrow-native end to end: the base collects
     via ``toArrow()`` and the query side runs ``mapInArrow`` — no
     per-row object conversion anywhere (the pandas path spent more time
-    stacking 200k Python lists than in BLAS)."""
+    stacking 200k Python lists than in BLAS).
+
+    Zero-norm vectors have undefined cosine: this path DROPS their rows
+    (NaN similarities fail the isfinite keep-mask) while cosine_topk_sql
+    emits NaN-similarity rows — don't feed all-zero embeddings to either
+    and expect agreement.  The base broadcast is registered with
+    operators/cache.track: long-lived drivers release the O(base)
+    broadcast blocks via cache.clear_tracked() between jobs."""
     import pyarrow as pa
+
+    from gstools_core_spark.operators.cache import track
 
     spark = queries.sparkSession
     base_tbl = base.select(
@@ -109,7 +129,7 @@ def cosine_topk(
     ).toArrow()
     bids, B = _arrow_vec_matrix(base_tbl, "bid", "v")
     B /= np.linalg.norm(B, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((B, bids))
+    bc = track(spark.sparkContext.broadcast((B, bids)))
     kk = k
 
     def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -179,7 +199,9 @@ def _assign_clusters_np(df: DataFrame, id_name: str, vec_col: str, centroids: np
     import pyarrow as pa
 
     C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    npb = n_probe
+    # clamp like the expr path's F.slice: n_probe beyond the centroid
+    # count would emit mismatched-length id/cluster arrays
+    npb = min(n_probe, len(C))
 
     def gen(batches):
         for batch in batches:
@@ -391,16 +413,20 @@ def lsh_ann(
     vec_col: str = "embedding",
     n_bits: int = 16,
     n_tables: int = 4,
+    seed: int = 19031977,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share a sketch bucket in ≥1 of
-    ``n_tables`` hyperplane tables; exact cosine on candidates only."""
+    ``n_tables`` hyperplane tables; exact cosine on candidates only.
+    ``seed`` must match the caller's oracle-side plane generation
+    (queries.LSH_SEED passes it explicitly — no duplicated magic
+    constant)."""
     q_sk, b_sk = queries, base
     pairs = None
     for t in range(n_tables):
-        qs = hyperplane_sketch(q_sk, vec_col, dim, n_bits, seed=19031977 + t).select(
+        qs = hyperplane_sketch(q_sk, vec_col, dim, n_bits, seed=seed + t).select(
             F.col(query_id).alias("qid"), F.col("sketch")
         )
-        bs = hyperplane_sketch(b_sk, vec_col, dim, n_bits, seed=19031977 + t).select(
+        bs = hyperplane_sketch(b_sk, vec_col, dim, n_bits, seed=seed + t).select(
             F.col(base_id).alias("bid"), F.col("sketch")
         )
         p = qs.join(bs, "sketch").select("qid", "bid")

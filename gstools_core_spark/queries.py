@@ -1724,7 +1724,7 @@ def q_lsh_ann(spark, sf_dir):
     q = emb.where(F.col("vec_id") % 50 == 0)
     out = SIM.lsh_ann(
         q, emb, k=LSH_K, dim=EMB_DIM, query_id="vec_id", base_id="vec_id",
-        n_bits=LSH_BITS, n_tables=LSH_TABLES,
+        n_bits=LSH_BITS, n_tables=LSH_TABLES, seed=LSH_SEED,
     )
     return out.select(
         "qid", "bid", F.round("cos_sim", 6).alias("cos_sim"),

@@ -645,3 +645,19 @@ def test_krige_external_drift_reproduces_covariate(spark):
     with pytest.raises(ValueError, match="external drift"):
         krige(targets, cond, model, radius=4.0, method="simple",
               drift_cols=("elev",))
+
+
+def test_full_size_universal_and_geo_query_functions(spark, sf_dir):
+    """The unregistered full-size query functions (q_krige_universal,
+    q_krige_geo — the API/bench-shaped variants whose gate coverage lives
+    in their hash-checked small twins) must keep running end-to-end: an
+    unexercised query function rots silently."""
+    from gstools_core_spark.queries import q_krige_geo, q_krige_universal
+
+    uni = q_krige_universal(spark, sf_dir)
+    rows = uni.limit(5).collect()
+    assert rows and set(uni.columns) == {"id", "krige_mean", "krige_var", "n_cond"}
+
+    geo = q_krige_geo(spark, sf_dir)
+    rows = geo.limit(5).collect()
+    assert rows and set(geo.columns) == {"id", "krige_mean", "krige_var", "n_cond"}

@@ -73,6 +73,9 @@ def main():
         )
 
     reg = registry()
+    unknown = only - set(reg)
+    if unknown:  # a typo must not report '0 ok, 0 failed' success
+        sys.exit(f"unknown query name(s): {sorted(unknown)} — see queries.registry()")
     n_pass = n_fail = n_rowsonly = 0
     for name, (fn, sql) in reg.items():
         if only and name not in only:
