@@ -8,16 +8,27 @@ Design (honest Spark, no hidden driver loops over rows):
 * the key space is hashed into ``n_buckets`` coarse buckets
   (``pmod(xxhash64(key), B)``) — at cluster scale each bucket is still
   thousands of Spark partitions;
-* each bucket is processed as one Spark job whose output lands in
-  ``out/bucket=<b>/`` followed by an atomic ``_COMPLETED_<b>`` marker write;
+* the pending buckets' rows are STAGED in ONE source scan — a single job
+  writing ``partitionBy("_cp_bucket")`` parquet — so the source is read
+  exactly twice per run (fingerprint scan + staging scan) no matter how
+  many buckets there are.  The old per-bucket ``where(pmod(...) == b)``
+  form rescanned the full source B times: the pmod predicate prunes
+  nothing (at 100 TB with B=16 that is 16 full scans);
+* each staged bucket is then processed as one Spark job reading ONLY its
+  ``_cp_bucket=<b>`` partition directory (partition-pruned), output landing
+  in ``out/bucket=<b>/`` followed by an atomic ``_COMPLETED_<b>`` marker;
 * resume = skip buckets whose marker exists — no duplicate work, idempotent
-  output (re-running a half-written bucket overwrites it);
+  output (re-running a half-written bucket overwrites it); only the still-
+  pending buckets are re-staged;
 * lineage: every marker records the bucket's INPUT fingerprint (row count +
   order-independent key hash) and output row count.  On resume the
   fingerprints of ALL buckets are recomputed against the current source in
   ONE grouped aggregate scan and stale buckets are reprocessed (source
   changed under the checkpoint) — ``verify_input=False`` skips the check
-  for completed buckets and trusts source immutability.
+  for completed buckets and trusts source immutability.  The fingerprints
+  are snapshotted before processing starts: a source mutated MID-RUN is
+  caught on the next resume (the marker's fingerprint no longer matches),
+  not during the run that raced with the writer.
 """
 
 from __future__ import annotations
@@ -91,15 +102,16 @@ class CheckpointedRun:
             if verify_input or len(done) < self.n_buckets
             else {}
         )
-        processed = 0
-        rows_written = 0
-        stale = 0
+
+        # decide the pending set up front so the staging write touches the
+        # source exactly once for the whole run
+        stale_set: set[int] = set()
+        pending: list[int] = []
         for b in range(self.n_buckets):
-            part = source.where(bucket == b)
-            fp = fps.get(b)
             if b in done:
                 if not verify_input:
                     continue
+                fp = fps[b]
                 try:
                     marker = json.loads(self._marker(b).read_text())
                 except (json.JSONDecodeError, OSError):
@@ -110,9 +122,42 @@ class CheckpointedRun:
                     and marker.get("input_sum") == fp["input_sum"]
                 ):
                     continue
-                stale += 1  # source changed under the checkpoint: redo
+                stale_set.add(b)  # source changed under the checkpoint: redo
+            pending.append(b)
+
+        processed = 0
+        rows_written = 0
+        spark = source.sparkSession
+        staging = self.out / "_staging"
+        if pending:
+            if "_cp_bucket" in source.columns:
+                raise ValueError(
+                    "source already has a _cp_bucket column — it would "
+                    "collide with the checkpoint staging partition column"
+                )
+            # ONE source scan stages every pending bucket's rows as a
+            # partitioned parquet table; each bucket job below reads only
+            # its own partition directory (pruned), never the source again
+            (
+                source.withColumn("_cp_bucket", bucket)
+                .where(F.col("_cp_bucket").isin([int(b) for b in pending]))
+                .write.mode("overwrite")
+                .partitionBy("_cp_bucket")
+                .parquet(str(staging))
+            )
+            try:
+                staged = spark.read.parquet(str(staging))
+            except Exception:
+                # zero pending rows were staged (all pending buckets empty):
+                # parquet wrote no files, so synthesize an empty frame
+                staged = source.withColumn(
+                    "_cp_bucket", bucket.cast("int")
+                ).where(F.lit(False))
+        for b in pending:
+            fp = fps.get(b)
             if fail_after is not None and processed >= fail_after:
                 raise RuntimeError(f"injected failure after {processed} buckets")
+            part = staged.where(F.col("_cp_bucket") == b).drop("_cp_bucket")
             result = transform(part)
             path = str(self.out / f"bucket={b}")
             result.write.mode("overwrite").parquet(path)
@@ -140,10 +185,14 @@ class CheckpointedRun:
             os.replace(tmp, self._marker(b))
             processed += 1
             rows_written += n
+        if pending:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
         return {
             "buckets_processed": processed,
-            "buckets_skipped": len(done) - stale,
-            "buckets_stale": stale,
+            "buckets_skipped": len(done) - len(stale_set),
+            "buckets_stale": len(stale_set),
             "rows_written": rows_written,
         }
 

@@ -68,6 +68,61 @@ def _grid_cells(coords: Sequence[str], radius: float) -> list:
     return [F.floor(F.col(c) / F.lit(radius)).cast("long") for c in coords]
 
 
+def salt_cogroup_keys(
+    t: DataFrame,
+    c: DataFrame,
+    jkeys: list[str],
+    tid_col: str,
+    salt_hot: int,
+    hot_threshold: int,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Split hot blocking cells across ``salt_hot`` cogroup sub-keys.
+
+    A pandas cogroup executes ONE task per key — AQE cannot split it — so a
+    hot cell (the north rule's dense-page scenario: lang-skewed geocoding
+    packs one city cell with 10^5+ targets) serializes the whole stage.
+    Mirroring pair_join's ``salt_hot`` recipe: cells whose TARGET count
+    exceeds ``hot_threshold`` are detected with a count aggregate and
+    broadcast onto both sides (no driver key list); the target side takes
+    ``pmod(xxhash64(tid), S)`` and the cond-ring side replicates across all
+    S salts, so each target still cogroups with its cell's FULL cond ring —
+    output invariant (pytest-pinned bitwise), one hot cell becomes S tasks.
+    Cold cells pay nothing (salt 0, no replication).
+    """
+    hot = (
+        t.groupBy(*jkeys)
+        .agg(F.count(F.lit(1)).alias("_hot_n"))
+        .where(F.col("_hot_n") > hot_threshold)
+        .select(*jkeys, F.lit(True).alias("_hot"))
+    )
+    t = (
+        t.join(F.broadcast(hot), jkeys, "left")
+        .withColumn(
+            "_ksalt",
+            F.when(
+                F.col("_hot"),
+                F.pmod(F.xxhash64(F.col(tid_col)), F.lit(salt_hot)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("_hot")
+    )
+    c = (
+        c.join(F.broadcast(hot), jkeys, "left")
+        .withColumn(
+            "_ksalts",
+            F.when(
+                F.col("_hot"), F.sequence(F.lit(0), F.lit(salt_hot - 1))
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("_ksalt", F.explode("_ksalts"))
+        .withColumn("_ksalt", F.col("_ksalt").cast("long"))
+        .drop("_ksalts", "_hot")
+    )
+    return t, c, jkeys + ["_ksalt"]
+
+
 def _pairwise_hav(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """(na, 2) × (nb, 2) (lat, lon degrees) → central angle in RADIANS,
     broadcast through the golden-pinned kernel (operation order identical
@@ -108,6 +163,8 @@ def krige(
     knn: int | None = None,
     haversine: bool = False,
     max_abs_lat: float | None = None,
+    salt_hot: int | None = None,
+    hot_threshold: int = 50_000,
 ) -> DataFrame:
     """Krige ``cond`` onto ``targets`` → (id, <coords…>, krige_mean,
     krige_var, n_cond).  Any dimension (``coords`` of length d — blocking
@@ -154,6 +211,14 @@ def krige(
     ``max_abs_lat`` is given), so neighborhoods straddling ±180° stay
     intact; all neighborhood distances are great-circle central angles
     through the golden-pinned kernel.
+
+    ``salt_hot=S`` — EXPLICIT hot-cell salting for the cogroup (north rule):
+    a pandas cogroup runs one task per key and AQE cannot split it, so one
+    dense cell serializes the stage at skewed scale.  Cells with more than
+    ``hot_threshold`` TARGETS are split across S sub-keys (targets hashed,
+    cond ring replicated — see salt_cogroup_keys); the kriged output is
+    bitwise identical (pytest-pinned) because every target still sees its
+    cell's full cond ring and all per-group orders are canonicalized.
     """
     if method not in ("simple", "ordinary", "universal"):
         raise ValueError(
@@ -213,6 +278,11 @@ def krige(
         c_cells = _grid_cells(tuple(f"c{k}" for k in range(d)), radius)
     c = _ring_stamp(c_sel, c_cells, wrap_n=wrap_n)
 
+    if salt_hot:
+        t, c, jkeys = salt_cogroup_keys(
+            t, c, jkeys, "tid", salt_hot, hot_threshold
+        )
+
     nugget = model.nugget
     sill = model.sill
     mcov = model.cov  # any functions.models.CovModel (tiny, picklable)
@@ -221,6 +291,7 @@ def krige(
     geo = haversine
     _pw = _pairwise_hav if geo else _pairwise_dist
     geo_grid = (cell_lat, n_lon, lon_w) if geo else None
+    n_block_keys = d_block  # salted groups append _ksalt AFTER the cell keys
     # monomial drift basis: ordinary kriging = constant drift only
     n_drift_order = 0 if method == "ordinary" else int(drift_order)
 
@@ -248,6 +319,7 @@ def krige(
     )
 
     def solve_cell(key, t_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        key = key[:n_block_keys]  # drop the _ksalt component when salted
         if t_pdf.empty:
             return pd.DataFrame(
                 columns=["tid", *t_cols, "krige_mean", "krige_var", "n_cond"]
@@ -332,7 +404,12 @@ def krige(
                 W = np.linalg.solve(A, B)  # weights + lagrange multipliers
             except np.linalg.LinAlgError:
                 W = np.linalg.lstsq(A, B, rcond=None)[0]
-            est = W[:nc].T @ cv
+            # multiply+sum over axis 0, NOT W[:nc].T @ cv: the gemv kernel
+            # BLAS picks depends on nt, so the same target solved in a
+            # salted sub-group (different nt) drifted 1 ulp; the pairwise
+            # axis-0 reduction depends only on nc — identical for every
+            # group size (the salting bitwise-invariance pin)
+            est = (W[:nc] * cv[:, None]).sum(axis=0)
             kvar = np.maximum(
                 sill
                 - np.einsum("ij,ij->j", W[:nc], V)

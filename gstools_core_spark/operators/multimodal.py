@@ -60,21 +60,59 @@ def extract_features(
     dim = feature_dim
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
         for pdf in batches:
             if mode == "real":
                 raise NotImplementedError(
                     "real decode requires image/audio codec libraries "
                     "(PIL/torchaudio/ffmpeg) not present in this environment"
                 )
-            feats = []
-            for payload in pdf["payload"]:
-                b = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-                # deterministic per-chunk byte statistics as the fake embedding
-                pad = (-len(b)) % dim
-                chunks = np.pad(b, (0, pad)).reshape(dim, -1)
-                feats.append((chunks.mean(axis=1) / 255.0).tolist())
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"media_id": pdf["media_id"], "kind": pdf["kind"], "features": []}
+                )
+                continue
+            # Arrow-offsets flatten (the _arrow_vec_matrix trick): ONE flat
+            # byte buffer + per-row offsets instead of ~10 numpy calls per
+            # row — the per-row `for payload in pdf[...]` loop was the last
+            # row-at-a-time Python in the package.  Row i's fake embedding
+            # chunk j is bytes [j*w_i, (j+1)*w_i) of the payload (w_i =
+            # ceil(L_i/dim), zero-padded tail), so chunk sums are
+            # np.add.reduceat over the flat buffer at the flattened chunk
+            # starts: chunks tile each row contiguously and rows tile the
+            # buffer, making consecutive starts exactly the segment bounds.
+            arr = pa.array(pdf["payload"]).cast(pa.large_binary())
+            if arr.null_count:
+                raise ValueError("payload contains nulls")
+            n = len(arr)
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[: n + 1]
+            flat = np.frombuffer(
+                arr.buffers()[2] or b"", dtype=np.uint8
+            )[: offs[-1]].astype(np.int64)
+            L = np.diff(offs)  # (n,) payload lengths
+            w = -(-L // dim)  # ceil(L/dim) chunk widths
+            j = np.arange(dim, dtype=np.int64)
+            starts = offs[:-1, None] + np.minimum(j[None, :] * w[:, None], L[:, None])
+            ends = offs[:-1, None] + np.minimum(
+                (j[None, :] + 1) * w[:, None], L[:, None]
+            )
+            idx = starts.ravel()
+            # sentinel element: lets boundary indices equal len(flat) (all-
+            # padding tail chunks) without clamping — a clamp would silently
+            # shrink the PRECEDING segment's sum
+            flat_ext = np.append(flat, np.int64(0))
+            sums = np.add.reduceat(flat_ext, idx).astype(np.float64)
+            sums[(ends.ravel() <= idx)] = 0.0  # reduceat yields flat[i] there
+            with np.errstate(invalid="ignore", divide="ignore"):
+                # same op order as the row-wise form: (sum / width) / 255
+                feats_m = (sums.reshape(n, dim) / w[:, None]) / 255.0
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "kind": pdf["kind"], "features": feats}
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "features": list(feats_m),
+                }
             )
 
     return media.mapInPandas(gen, "media_id long, kind string, features array<double>")

@@ -263,6 +263,34 @@ def test_multimodal_plumbing(spark):
         extract_features(media, 8, "real").collect()
 
 
+def test_multimodal_features_bitwise_vs_rowwise(spark):
+    """The Arrow-offsets vectorized fake decode must reproduce the original
+    per-row numpy form bit for bit (the multimodal_features oracle hashes
+    these doubles), including ragged edge cases: payload shorter than dim
+    (all-padding tail chunks) and length not divisible by dim."""
+    import numpy as np
+
+    payloads = [
+        b"MEDIA" + b"x" * 64,        # the synthesized shape
+        b"abc",                       # L < dim: tail chunks are pure padding
+        b"0123456789" * 7 + b"zz",    # L % dim != 0
+        b"\xff" * 37,
+        b"a",
+    ]
+    rows = [(i, "image", p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {
+        r["media_id"]: r["features"]
+        for r in extract_features(df, feature_dim=16, mode="fake").collect()
+    }
+    dim = 16
+    for i, p in enumerate(payloads):
+        b = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
+        pad = (-len(b)) % dim
+        want = (np.pad(b, (0, pad)).reshape(dim, -1).mean(axis=1) / 255.0).tolist()
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_checkpoint_detects_stale_source(spark, tmp_path):
     """Markers carry an input fingerprint; resuming after the source
     changed reprocesses exactly the buckets whose input differs."""
@@ -292,6 +320,33 @@ def test_checkpoint_detects_stale_source(spark, tmp_path):
     src3 = spark.range(700).withColumn("val", F.col("id") * 2)
     stats3 = run.run(src3, transform, "id", verify_input=False)
     assert stats3["buckets_processed"] == 0
+
+
+def test_checkpoint_scans_source_twice_not_per_bucket(spark, tmp_path):
+    """The run must read the source exactly TWICE regardless of B (one
+    fingerprint scan + one staging scan): the old per-bucket
+    ``where(pmod(...) == b)`` form rescanned the full source B times (the
+    pmod predicate prunes nothing — 16 full scans at 100 TB).  Instrumented
+    with an accumulator counting every row that passes through the source."""
+    B = 8
+    n = 400
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.range(n).withColumn("val", F.col("id") * 2)
+    src = base.mapInPandas(count_rows, base.schema)
+    run = CheckpointedRun(str(tmp_path / "out"), n_buckets=B)
+    stats = run.run(src, lambda d: d.withColumn("v3", F.col("val") * 3), "id")
+    assert stats["buckets_processed"] == B
+    assert run.read_output(spark).count() == n
+    # fingerprint scan + staging scan = 2n rows; the per-bucket form reads
+    # (1 + B) * n.  Allow one extra scan of slack for engine-internal
+    # re-evaluation, never B of them.
+    assert acc.value <= 3 * n, acc.value
 
 
 def test_checkpoint_fingerprint_catches_even_multiplicity_swap(spark, tmp_path):

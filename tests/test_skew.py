@@ -63,6 +63,82 @@ def test_variogram_on_skewed_cloud_matches_kernel(spark):
     np.testing.assert_allclose(got_g, want_g, rtol=1e-9)
 
 
+def _collect_krige(out):
+    rows = out.orderBy("id").collect()
+    return [
+        (r["id"], r["krige_mean"], r["krige_var"], r["n_cond"]) for r in rows
+    ]
+
+
+def test_krige_salting_bitwise_invariant(spark):
+    """salt_hot splits the hot cell's cogroup key without changing a bit of
+    the kriged output (every target still sees its cell's full cond ring;
+    per-group orders are canonicalized)."""
+    from gstools_core_spark.operators.kriging import GaussianModel, krige
+
+    df, _, _ = _skewed_points(spark)
+    cond = df.where(F.col("id") % 3 == 0)
+    model = GaussianModel(var=1.0, len_scale=0.4, nugget=0.01)
+    for knn in (None, 8):
+        plain = krige(df, cond, model, radius=1.0, method="ordinary", knn=knn)
+        salted = krige(
+            df, cond, model, radius=1.0, method="ordinary", knn=knn,
+            salt_hot=8, hot_threshold=300,
+        )
+        assert _collect_krige(plain) == _collect_krige(salted)
+
+
+def test_krige_salting_geo_bitwise_invariant(spark):
+    """Sphere path: the _ksalt key component must not be mistaken for the
+    lon cell index inside solve_cell's max_cond center ranking."""
+    from gstools_core_spark.operators.kriging import GaussianModel, krige
+
+    rng = np.random.default_rng(23)
+    lat = np.concatenate([rng.uniform(40.0, 41.0, 400), rng.uniform(-60, 60, 100)])
+    lon = np.concatenate([rng.uniform(10.0, 11.0, 400), rng.uniform(-170, 170, 100)])
+    val = rng.normal(size=500)
+    df = spark.createDataFrame(
+        [(i, float(lat[i]), float(lon[i]), float(val[i])) for i in range(500)],
+        "id long, lat double, lon double, val double",
+    )
+    cond = df.where(F.col("id") % 3 == 0)
+    model = GaussianModel(var=1.0, len_scale=0.02, nugget=0.01)
+    kw = dict(
+        radius=0.02, method="ordinary", coords=("lat", "lon"),
+        haversine=True, max_cond=64,
+    )
+    plain = krige(df, cond, model, **kw)
+    salted = krige(df, cond, model, salt_hot=4, hot_threshold=100, **kw)
+    assert _collect_krige(plain) == _collect_krige(salted)
+
+
+def test_krige_salting_splits_hot_cell(spark):
+    """One hot cell becomes S cogroup sub-keys (targets hashed across all S
+    salts, cond ring replicated ×S); cold cells keep salt 0 unreplicated."""
+    from gstools_core_spark.operators.kriging import salt_cogroup_keys
+
+    # 600 targets in cell (0,0) (hot), 50 in cell (5,5) (cold)
+    rows = [(i, 0.1 + (i % 10) * 0.08, 0.1 + (i // 10 % 10) * 0.08) for i in range(600)]
+    rows += [(1000 + i, 5.2, 5.3) for i in range(50)]
+    t = spark.createDataFrame(rows, "tid long, t0 double, t1 double")
+    t = t.withColumn("jc0", F.floor("t0").cast("long")).withColumn(
+        "jc1", F.floor("t1").cast("long")
+    )
+    c = t.select(
+        F.col("tid").alias("cid"), "t0", "t1", "jc0", "jc1"
+    )  # stand-in for the ring-stamped cond side
+    S = 8
+    ts, cs, keys = salt_cogroup_keys(t, c, ["jc0", "jc1"], "tid", S, 300)
+    assert keys == ["jc0", "jc1", "_ksalt"]
+    hot_salts = ts.where(F.col("jc0") == 0).select("_ksalt").distinct().count()
+    cold_salts = ts.where(F.col("jc0") == 5).select("_ksalt").distinct().count()
+    assert hot_salts == S and cold_salts == 1
+    # cond side: hot cell replicated across all S salts, cold cell once
+    hot_rep = cs.where(F.col("jc0") == 0).count()
+    cold_rep = cs.where(F.col("jc0") == 5).count()
+    assert hot_rep == 600 * S and cold_rep == 50
+
+
 def test_aqe_skew_configs_active(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
