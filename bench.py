@@ -183,11 +183,19 @@ def bench_pages_krige_raster(spark, sf_dir):
 
     n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     pages = geocode(synthesize_pages(spark, n))
-    pts = pages.select(
-        F.xxhash64("url").alias("id"),
-        F.col("lon").alias("x"),
-        F.col("lat").alias("y"),
-        T.quality_score(F.col("text")).alias("val"),
+    # materialize the geocoded/scored points ONCE: at scale this table is
+    # the stored Iceberg input (north rule) — without it the cogroup's two
+    # sides and the radius aggregates each re-run the synthesize+geocode+
+    # quality expression tree (~2.8 s at sf0.1 since the ANSI-safe
+    # xxhash-per-position synthesis, round-4 regression attribution)
+    pts = (
+        pages.select(
+            F.xxhash64("url").alias("id"),
+            F.col("lon").alias("x"),
+            F.col("lat").alias("y"),
+            T.quality_score(F.col("text")).alias("val"),
+        )
+        .localCheckpoint(eager=True)
     )
     cond = pts.where(F.pmod(F.col("id"), F.lit(10)) == 0)
     model = GaussianModel(var=1.0, len_scale=5.0, nugget=0.01)
@@ -205,11 +213,18 @@ def bench_pages_geo_krige(spark, sf_dir):
 
     n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     pages = geocode(synthesize_pages(spark, n))
-    pts = pages.select(
-        F.xxhash64("url").alias("id"),
-        "lat",
-        "lon",
-        T.quality_score(F.col("text")).alias("val"),
+    # one materialization of the geocoded table (see bench_pages_krige_raster
+    # note); max_abs_lat from the geocoder's construction (|lat| ≤ 61°:
+    # en region center 39° + spread 22°) skips the max(|lat|) aggregate —
+    # at scale that bound comes from table stats
+    pts = (
+        pages.select(
+            F.xxhash64("url").alias("id"),
+            "lat",
+            "lon",
+            T.quality_score(F.col("text")).alias("val"),
+        )
+        .localCheckpoint(eager=True)
     )
     cond = pts.where(F.pmod(F.col("id"), F.lit(10)) == 0)
     model = GaussianModel(var=1.0, len_scale=0.05, nugget=0.01)
@@ -222,6 +237,7 @@ def bench_pages_geo_krige(spark, sf_dir):
         coords=("lat", "lon"),
         knn=16,
         haversine=True,
+        max_abs_lat=61.0,
     )
 
 
@@ -366,6 +382,27 @@ def main():
         sf = float(sf_dir.rstrip("/").split("sf")[-1])  # the finished run
     except ValueError:
         sf = None
+
+    # pin the protocol + per-query record in-repo so round-over-round diffs
+    # compare like with like (r1 in-sequence → r2 best-of-2 same-JVM → r3+
+    # fresh-JVM-per-query best-of-2 with Python-worker pool warmup; the r3
+    # "regressions" were un-attributable because only the aggregate line
+    # was committed)
+    if not subset:  # full runs only — partial runs would clobber the record
+        record = {
+            "protocol": "fresh JVM per query, Python-worker pool warmup, "
+            "best of 2 in-JVM reps, System.gc() between reps",
+            "queries": times,
+            "sf": sf,
+            "cpus": cpus,
+            "heavy": HEAVY,
+        }
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"),
+            "w",
+        ) as f:
+            json.dump(record, f, indent=1)
+
     print(
         json.dumps(
             {

@@ -236,10 +236,14 @@ def simhash64(
 
     With the portable hash, bits 0..59 come from h1 (md5 hex 1..15) and
     bits 60..63 from the low bits of h2 (md5 hex 16..30) — the same bit
-    source the SQL oracle reads.  The xx path draws h2 from an
-    independently SEEDED xxhash64 — ``h1 >> 32`` would make bits 60..63
-    exact copies of bits 32..35 (hamming double-counting, missed pairs,
-    60 bits of effective entropy).
+    source the SQL oracle reads.  The xx path draws h2 from
+    ``xxhash64(token, 977)`` — hashing 977 as an EXTRA COLUMN, not a seed
+    (Spark's xxhash64 seed is fixed at 42); that still yields a hash
+    function independent of h1, which is all the entropy argument needs —
+    whereas ``h1 >> 32`` would make bits 60..63 exact copies of bits
+    32..35 (hamming double-counting, missed pairs, 60 bits of effective
+    entropy).  Do NOT "fix" the 977 into a real seed: it would silently
+    change every persisted simhash.
 
     The per-k aggregate lambdas below differ in the PYTHON int ``k``
     passed to shiftrightunsigned (a literal in the expression, not a

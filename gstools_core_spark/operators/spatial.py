@@ -396,6 +396,12 @@ def point_in_polygon(
     ]
     if not cover_rows:  # degenerate polygon: nothing interior or boundary
         return points.withColumn(out_col, F.lit(False))
+    clash = {"_pipck", "_pipint"} & set(points.columns)
+    if clash:  # a silent collision would mis-route rows between branches
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with point_in_polygon's "
+            "internal temp columns — rename them first"
+        )
     cover = spark.createDataFrame(cover_rows, "_pipck long, _pipint boolean")
     tagged = points.withColumn("_pipck", key).join(
         F.broadcast(cover), "_pipck", "left"

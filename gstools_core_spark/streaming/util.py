@@ -43,23 +43,17 @@ def file_stream_source(
     return reader.parquet(path).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-# most recent memory-sink table per prefix: dropped when the next run with
-# the same prefix starts, so repeated calls don't accumulate fully-
-# materialized result copies in driver memory for the session lifetime
-_ACTIVE_SINKS: dict[str, str] = {}
-
-
 def run_to_memory_sink(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
     """Run ``df`` with Trigger.AvailableNow into an in-memory sink and
     return the resulting (batch) DataFrame.
 
-    The previous sink table of the same ``prefix`` is dropped first —
-    a DataFrame returned by an EARLIER call with this prefix becomes
-    invalid once a new call runs (collect it before re-running)."""
+    The result is ``localCheckpoint(eager=True)``-materialized and the sink
+    temp view dropped IMMEDIATELY: the returned DataFrame owns its data and
+    stays valid however many later runs reuse the prefix (the previous
+    keep-latest-view scheme invalidated earlier results at a distance —
+    e.g. comparing complete vs update output modes broke the first one),
+    and the driver never accumulates per-run memory-sink tables."""
     spark = df.sparkSession
-    old = _ACTIVE_SINKS.pop(prefix, None)
-    if old is not None:
-        spark.catalog.dropTempView(old)
     sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         df.writeStream.format("memory")
@@ -69,5 +63,6 @@ def run_to_memory_sink(df: DataFrame, prefix: str, output_mode: str) -> DataFram
         .start()
     )
     q.awaitTermination()
-    _ACTIVE_SINKS[prefix] = sink
-    return spark.table(sink)
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out

@@ -28,7 +28,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 HEADLINE = ("variogram", "krige")  # north-rule pages/sec pair
 PIPELINE = ("minhash_dedup", "ann_topk")  # dedup/ANN scaling evidence
-QUERIES = HEADLINE + PIPELINE
+# the two most expensive bench queries: moving-window kriging and the
+# full sphere-path pages chain (cogroup skew behavior at scale)
+HEAVY_PAIR = ("krige_knn", "pages_geo_krige")
+QUERIES = HEADLINE + PIPELINE + HEAVY_PAIR
 LEVELS = (2, 8, 32)
 REPS = 2
 
@@ -89,7 +92,11 @@ def main():
         "pairs; ordinary kriging, 50% conditioning, max_cond=768) so compute",
         "dominates the ~8 s fixed per-query overhead.  minhash_dedup and",
         "ann_topk are the LLM-pipeline representatives (shingle→signature→",
-        "band-join→verify; broadcast-matmul cosine top-k).",
+        "band-join→verify; broadcast-matmul cosine top-k).  krige_knn and",
+        "pages_geo_krige are the two most expensive bench queries: per-target",
+        "moving-window kriging and the full sphere-path pages chain",
+        "(synthesize→geocode→quality→haversine knn-krige) whose cogroup",
+        "skew/parallelism profile matters most at 100×.",
         "",
         "| query | local[2] s | local[8] s | local[32] s | eff 2→8 | eff 8→32 |",
         "|---|---|---|---|---|---|",
