@@ -320,9 +320,11 @@ def _run_in_process(names, sf_dir, cpus) -> dict:
     times = {}
     for name in names:
         fn = QUERIES[name]
-        # best-of-2 for EVERY query: with the pool warm both reps measure
-        # the plan; the min rides out host bursts.
-        reps = 2
+        # best-of-3 for EVERY query: with the pool warm every rep measures
+        # the plan; the min rides out host bursts (round-4 attribution saw
+        # same-query quiet-window reps span 8.5-25.4 s — two reps leave a
+        # coin-flip chance both land in a burst).
+        reps = 3
         best = None
         for _ in range(reps):
             t0 = time.time()
@@ -401,7 +403,7 @@ def main():
     if not subset:  # full runs only — partial runs would clobber the record
         record = {
             "protocol": "fresh JVM per query, Python-worker pool warmup, "
-            "best of 2 in-JVM reps, System.gc() between reps",
+            "best of 3 in-JVM reps, System.gc() between reps",
             "queries": times,
             "sf": sf,
             "cpus": cpus,

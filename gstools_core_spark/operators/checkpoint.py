@@ -13,7 +13,10 @@ Design (honest Spark, no hidden driver loops over rows):
   exactly twice per run (fingerprint scan + staging scan) no matter how
   many buckets there are.  The old per-bucket ``where(pmod(...) == b)``
   form rescanned the full source B times: the pmod predicate prunes
-  nothing (at 100 TB with B=16 that is 16 full scans);
+  nothing (at 100 TB with B=16 that is 16 full scans).  The trade is one
+  staged write of the pending rows per fresh run (2 reads + 1 write + B
+  pruned reads vs B+1 full reads — already ahead at B=3, and the staged
+  copy is removed on every exit path);
 * each staged bucket is then processed as one Spark job reading ONLY its
   ``_cp_bucket=<b>`` partition directory (partition-pruned), output landing
   in ``out/bucket=<b>/`` followed by an atomic ``_COMPLETED_<b>`` marker;
@@ -145,50 +148,63 @@ class CheckpointedRun:
                 .partitionBy("_cp_bucket")
                 .parquet(str(staging))
             )
-            try:
-                staged = spark.read.parquet(str(staging))
-            except Exception:
-                # zero pending rows were staged (all pending buckets empty):
-                # parquet wrote no files, so synthesize an empty frame
+            if sum(fps[b]["input_rows"] for b in pending) == 0:
+                # all pending buckets are empty: parquet wrote no data files
+                # and the read below would fail on schema inference.  This
+                # is decided from the FINGERPRINTS, never from a read
+                # failure — a bare except here once turned any real read
+                # error into "empty input", writing empty bucket outputs
+                # under markers whose fingerprints still matched the source
+                # (permanent silent data loss on every later resume).
                 staged = source.withColumn(
                     "_cp_bucket", bucket.cast("int")
                 ).where(F.lit(False))
-        for b in pending:
-            fp = fps.get(b)
-            if fail_after is not None and processed >= fail_after:
-                raise RuntimeError(f"injected failure after {processed} buckets")
-            part = staged.where(F.col("_cp_bucket") == b).drop("_cp_bucket")
-            result = transform(part)
-            path = str(self.out / f"bucket={b}")
-            result.write.mode("overwrite").parquet(path)
-            n = result.sparkSession.read.parquet(path).count()
-            # ATOMIC marker: write a temp file, fsync, then rename into
-            # place — a crash mid-write can never leave a truncated marker
-            # that reads as completed
-            tmp = self._marker(b).with_suffix(".tmp")
-            with open(tmp, "w") as f:
-                f.write(
-                    json.dumps(
-                        {
-                            "bucket": b,
-                            "rows": n,
-                            "key_col": key_col,
-                            "input_rows": fp["input_rows"],
-                            "input_hash": fp["input_hash"],
-                            "input_sum": fp["input_sum"],
-                            "completed_at": time.time(),
-                        }
+            else:
+                staged = spark.read.parquet(str(staging))
+        try:
+            for b in pending:
+                fp = fps.get(b)
+                if fail_after is not None and processed >= fail_after:
+                    raise RuntimeError(
+                        f"injected failure after {processed} buckets"
                     )
-                )
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self._marker(b))
-            processed += 1
-            rows_written += n
-        if pending:
-            import shutil
+                part = staged.where(F.col("_cp_bucket") == b).drop("_cp_bucket")
+                result = transform(part)
+                path = str(self.out / f"bucket={b}")
+                result.write.mode("overwrite").parquet(path)
+                n = result.sparkSession.read.parquet(path).count()
+                # ATOMIC marker: write a temp file, fsync, then rename into
+                # place — a crash mid-write can never leave a truncated
+                # marker that reads as completed
+                tmp = self._marker(b).with_suffix(".tmp")
+                with open(tmp, "w") as f:
+                    f.write(
+                        json.dumps(
+                            {
+                                "bucket": b,
+                                "rows": n,
+                                "key_col": key_col,
+                                "input_rows": fp["input_rows"],
+                                "input_hash": fp["input_hash"],
+                                "input_sum": fp["input_sum"],
+                                "completed_at": time.time(),
+                            }
+                        )
+                    )
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, self._marker(b))
+                processed += 1
+                rows_written += n
+        finally:
+            # staging is a per-run scratch snapshot: resume re-stages the
+            # still-pending buckets, so it is safe (and necessary — a
+            # crashed run must not leak a full source copy) to remove it on
+            # every exit path
+            if pending:
+                import shutil
 
-            shutil.rmtree(staging, ignore_errors=True)
+                shutil.rmtree(staging, ignore_errors=True)
         return {
             "buckets_processed": processed,
             "buckets_skipped": len(done) - len(stale_set),

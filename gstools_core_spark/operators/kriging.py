@@ -88,6 +88,12 @@ def salt_cogroup_keys(
     S salts, so each target still cogroups with its cell's FULL cond ring —
     output invariant (pytest-pinned bitwise), one hot cell becomes S tasks.
     Cold cells pay nothing (salt 0, no replication).
+
+    NOTE: pair_join.py:202-239 carries the sibling of this recipe for the
+    pair JOIN (detection over unstamped cells, salt name ``jsalt``); the
+    two differ in detection base and join-key structure, so they are kept
+    separate — a semantic fix to either (null keys, thresholds, salt hash)
+    must be mirrored in the other.
     """
     hot = (
         t.groupBy(*jkeys)

@@ -82,14 +82,17 @@ def extract_features(
             # np.add.reduceat over the flat buffer at the flattened chunk
             # starts: chunks tile each row contiguously and rows tile the
             # buffer, making consecutive starts exactly the segment bounds.
-            arr = pa.array(pdf["payload"]).cast(pa.large_binary())
+            # build large_binary DIRECTLY (64-bit offsets): pa.array() with
+            # the default binary type caps a batch at 2 GiB of payload
+            # bytes (32-bit offsets) — the old per-row loop had no limit
+            arr = pa.array(pdf["payload"], type=pa.large_binary())
             if arr.null_count:
                 raise ValueError("payload contains nulls")
             n = len(arr)
             offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[: n + 1]
-            flat = np.frombuffer(
-                arr.buffers()[2] or b"", dtype=np.uint8
-            )[: offs[-1]].astype(np.int64)
+            flat = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)[
+                : offs[-1]
+            ]
             L = np.diff(offs)  # (n,) payload lengths
             w = -(-L // dim)  # ceil(L/dim) chunk widths
             j = np.arange(dim, dtype=np.int64)
@@ -100,9 +103,14 @@ def extract_features(
             idx = starts.ravel()
             # sentinel element: lets boundary indices equal len(flat) (all-
             # padding tail chunks) without clamping — a clamp would silently
-            # shrink the PRECEDING segment's sum
-            flat_ext = np.append(flat, np.int64(0))
-            sums = np.add.reduceat(flat_ext, idx).astype(np.float64)
+            # shrink the PRECEDING segment's sum.  Stay uint8 until the
+            # reduce and accumulate via dtype=int64: an .astype(int64) here
+            # would materialize an 8× copy of the batch payload (this host
+            # page-faults hard on large fresh allocations)
+            flat_ext = np.append(flat, np.uint8(0))
+            sums = np.add.reduceat(flat_ext, idx, dtype=np.int64).astype(
+                np.float64
+            )
             sums[(ends.ravel() <= idx)] = 0.0  # reduceat yields flat[i] there
             with np.errstate(invalid="ignore", divide="ignore"):
                 # same op order as the row-wise form: (sum / width) / 255

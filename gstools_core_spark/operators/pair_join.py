@@ -201,7 +201,9 @@ def pair_join(
     join_keys = list(jkeys)
     if salt_hot:
         # hot-cell detection stays distributed: the (tiny) hot-cell table is
-        # broadcast onto both sides — no driver collect, no isin literal list
+        # broadcast onto both sides — no driver collect, no isin literal
+        # list.  kriging.salt_cogroup_keys carries the cogroup sibling of
+        # this recipe — semantic fixes here must be mirrored there.
         hot = (
             pts.groupBy(*cell_names)
             .agg(F.count(F.lit(1)).alias("_hot_n"))
