@@ -349,6 +349,21 @@ def test_checkpoint_scans_source_twice_not_per_bucket(spark, tmp_path):
     assert acc.value <= 3 * n, acc.value
 
 
+def test_checkpoint_empty_source(spark, tmp_path):
+    """All pending buckets empty: the staging parquet has no data files, so
+    the run must take the fingerprint-decided empty-frame path (never a
+    read-failure fallback) and still write all B markers with 0 rows."""
+    src = spark.range(0).withColumn("val", F.col("id") * 2)
+    run = CheckpointedRun(str(tmp_path / "out"), n_buckets=4)
+    stats = run.run(src, lambda d: d, "id")
+    assert stats["buckets_processed"] == 4
+    assert stats["rows_written"] == 0
+    assert len(run.completed_buckets()) == 4
+    # idempotent resume on the empty source
+    stats2 = run.run(src, lambda d: d, "id")
+    assert stats2["buckets_processed"] == 0
+
+
 def test_checkpoint_fingerprint_catches_even_multiplicity_swap(spark, tmp_path):
     """XOR alone is blind to even-multiplicity changes (xx(K)^xx(K) = 0):
     a twice-delivered key K replaced by a twice-delivered K' in the same
