@@ -1,0 +1,21 @@
+"""Every bench query must BUILD and EXECUTE at tiny scale: bench.py is the
+driver's per-round measurement surface, so a broken query there would
+otherwise only surface in the recorded round artifact, not in CI."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import QUERIES  # noqa: E402
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_bench_query_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    # execute a bounded slice end-to-end (schema resolution + first tasks)
+    rows = df.limit(5).collect()
+    assert len(df.columns) > 0
+    assert rows is not None
