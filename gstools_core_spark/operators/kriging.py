@@ -94,6 +94,20 @@ def salt_cogroup_keys(
     two differ in detection base and join-key structure, so they are kept
     separate — a semantic fix to either (null keys, thresholds, salt hash)
     must be mirrored in the other.
+
+    ``group_cells`` — SUPER-CELL grouping factor: cogroup on cells of
+    ``group_cells × radius`` and iterate the fine blocking cells inside
+    the pandas function.  Each cogroup GROUP costs ~2-3 ms of fixed
+    Arrow/pandas machinery regardless of size; with thousands of small
+    cells that fixed cost WAS the whole query (measured at sf0.1: the
+    headline krige spent 5.8 s of 7.1 s in a trivial-kernel cogroup over
+    1,600 groups of ~62 targets).  'auto' (default) sizes the factor
+    from one distinct-cell count over the targets so that ~4 groups land
+    per core (the aggregate is one cheap partial-agg pass; pass an int —
+    1 disables — to skip it).  Per-fine-cell results are bitwise
+    IDENTICAL under any grouping: the same fine (cell, targets, ring)
+    triples reach the same solver, whose internal orders are
+    canonicalized (the salting-invariance pins cover this property).
     """
     hot = (
         t.groupBy(*jkeys)
@@ -171,6 +185,7 @@ def krige(
     max_abs_lat: float | None = None,
     salt_hot: int | None = None,
     hot_threshold: int = 50_000,
+    group_cells: int | str = "auto",
 ) -> DataFrame:
     """Krige ``cond`` onto ``targets`` → (id, <coords…>, krige_mean,
     krige_var, n_cond).  Any dimension (``coords`` of length d — blocking
@@ -559,11 +574,64 @@ def krige(
             {**base, "krige_mean": est, "krige_var": kvar, "n_cond": ncond}
         )
 
-    out = (
-        t.groupBy(*jkeys)
-        .cogroup(c.groupBy(*jkeys))
-        .applyInPandas(solve_cell_knn if knn is not None else solve_cell, out_schema)
-    )
+    base_fn = solve_cell_knn if knn is not None else solve_cell
+
+    if group_cells == "auto":
+        # target ~2 groups per core: the per-group Arrow/pandas dispatch
+        # cost is near-serial (A/B at sf0.1: 1600 groups cost ~5.8 s of
+        # trivial-kernel time, 25 groups ~0.1 s), so fewer groups win
+        # until load balance bites — 2/core keeps a straggler cushion for
+        # spatially-skewed densities while shedding ~97% of the dispatch
+        par = targets.sparkSession.sparkContext.defaultParallelism
+        n_cells = t.select(*jkeys[:d_block]).distinct().count()
+        mult = max(
+            1, int(round((n_cells / max(2 * par, 1)) ** (1.0 / d_block)))
+        )
+    else:
+        mult = max(1, int(group_cells))
+
+    if mult > 1:
+        fine = jkeys[:d_block]
+        skeys = [f"sc{k}" for k in range(d_block)]
+        sexprs = [
+            F.floor(F.col(fine[k]) / F.lit(mult)).cast("long")
+            for k in range(d_block)
+        ]
+        t = t.select("*", *[e.alias(s) for e, s in zip(sexprs, skeys)])
+        c = c.select("*", *[e.alias(s) for e, s in zip(sexprs, skeys)])
+        group_keys = skeys + jkeys[d_block:]  # _ksalt stays a group key
+
+        def solve_super(key, t_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+            # iterate the fine blocking cells inside ONE cogroup group:
+            # identical (cell, targets, ring) triples reach base_fn, so
+            # the per-cell outputs are bitwise the mult=1 outputs
+            if t_pdf.empty:
+                return pd.DataFrame(
+                    columns=["tid", *t_cols, "krige_mean", "krige_var", "n_cond"]
+                )
+            empty_c = c_pdf.iloc[0:0]
+            cmap = (
+                {k: v for k, v in c_pdf.groupby(fine, sort=True)}
+                if not c_pdf.empty
+                else {}
+            )
+            outs = []
+            for k, tsub in t_pdf.groupby(fine, sort=True):
+                kk = k if isinstance(k, tuple) else (k,)
+                outs.append(base_fn(kk, tsub, cmap.get(k, empty_c)))
+            return pd.concat(outs, ignore_index=True)
+
+        out = (
+            t.groupBy(*group_keys)
+            .cogroup(c.groupBy(*group_keys))
+            .applyInPandas(solve_super, out_schema)
+        )
+    else:
+        out = (
+            t.groupBy(*jkeys)
+            .cogroup(c.groupBy(*jkeys))
+            .applyInPandas(base_fn, out_schema)
+        )
     return out.select(
         F.col("tid").alias(target_id),
         *[F.col(f"t{k}").alias(c) for k, c in enumerate(coords)],

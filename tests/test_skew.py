@@ -112,6 +112,42 @@ def test_krige_salting_geo_bitwise_invariant(spark):
     assert _collect_krige(plain) == _collect_krige(salted)
 
 
+def test_krige_super_grouping_bitwise_invariant(spark):
+    """group_cells coalesces fine blocking cells into one cogroup group
+    (per-group dispatch is near-serial — thousands of tiny cells WERE the
+    headline krige's cost); every grouping must produce bit-identical
+    output, including combined with salting."""
+    from gstools_core_spark.operators.kriging import GaussianModel, krige
+
+    df, _, _ = _skewed_points(spark)
+    cond = df.where(F.col("id") % 3 == 0)
+    model = GaussianModel(var=1.0, len_scale=0.4, nugget=0.01)
+    for knn in (None, 8):
+        plain = krige(
+            df, cond, model, radius=1.0, method="ordinary", knn=knn,
+            group_cells=1,
+        )
+        grouped = krige(
+            df, cond, model, radius=1.0, method="ordinary", knn=knn,
+            group_cells=4,
+        )
+        auto = krige(
+            df, cond, model, radius=1.0, method="ordinary", knn=knn,
+            group_cells="auto",
+        )
+        want = _collect_krige(plain)
+        assert _collect_krige(grouped) == want
+        assert _collect_krige(auto) == want
+    both = krige(
+        df, cond, model, radius=1.0, method="ordinary", knn=8,
+        group_cells=4, salt_hot=8, hot_threshold=300,
+    )
+    base = krige(
+        df, cond, model, radius=1.0, method="ordinary", knn=8, group_cells=1
+    )
+    assert _collect_krige(both) == _collect_krige(base)
+
+
 def test_krige_salting_splits_hot_cell(spark):
     """One hot cell becomes S cogroup sub-keys (targets hashed across all S
     salts, cond ring replicated ×S); cold cells keep salt 0 unreplicated."""
