@@ -85,6 +85,12 @@ def bench_krige(spark, sf_dir):
     # HEAVY max_cond=768: per-cell inv() is the dominant compute
     # (~0.3 GFlop × 400 cells); at 512 the whole query was ~10 s at
     # local[2] and fixed overhead blurred the scaling signal
+    # group_cells from table stats (1,600 uniform cells of ~62 targets):
+    # 8 → 25 super-groups.  The per-group Arrow/pandas dispatch is
+    # near-serial, so at sf0.1 group sizes the dispatch floor dominates
+    # the 2-groups/core balance rule (measured one-JVM: gc=1 9.9 s,
+    # auto/5 4.4 s, 8 3.3 s); passing the int also skips auto's stats
+    # pass — production sizes it from stored table stats the same way
     return krige(
         pts,
         cond,
@@ -92,6 +98,7 @@ def bench_krige(spark, sf_dir):
         radius=BENCH_RADIUS,
         method="ordinary",
         max_cond=768 if HEAVY else 256,
+        group_cells=8,
     )
 
 
@@ -109,6 +116,9 @@ def bench_krige_knn(spark, sf_dir):
     return krige(
         pts, cond, model, radius=BENCH_RADIUS, method="ordinary",
         knn=64 if HEAVY else 16,
+        # same uniform 1,600-cell grid as bench_krige → same stats-derived
+        # grouping factor (see the note there)
+        group_cells=8,
     )
 
 
@@ -204,7 +214,15 @@ def bench_pages_krige_raster(spark, sf_dir):
     )
     cond = pts.where(F.pmod(F.col("id"), F.lit(10)) == 0)
     model = GaussianModel(var=1.0, len_scale=5.0, nugget=0.01)
-    kriged = krige(pts, cond, model, radius=5.0, method="ordinary", max_cond=256)
+    # 273 occupied 5°-cells (table stats); gc=8 → ~8 super-groups was the
+    # measured floor (one-JVM: gc=1 4.4 s, 4 3.9 s, 8 3.2 s) — the
+    # geocoded density is region-clustered but no single cell dominates
+    # at this blocking radius, so grouping wins here (contrast the
+    # sphere-path query below)
+    kriged = krige(
+        pts, cond, model, radius=5.0, method="ordinary", max_cond=256,
+        group_cells=8,
+    )
     return rasterize_tiles(kriged, cell_size=2.0, value_col="krige_mean", tile_cells=8)
 
 
@@ -248,6 +266,12 @@ def bench_pages_geo_krige(spark, sf_dir):
         # at 100× the en city-cells exceed it and split S ways instead of
         # serializing the cogroup stage — the benched plan IS the scale plan
         salt_hot=8,
+        # fine-cell granularity: the 0.05°-cell counts here are lang-skewed
+        # (auto's skew guard picks 1 from the same stats — max/mean ≫ 4);
+        # super-grouping would merge the hot-region cells back into
+        # straggler tasks (measured one-JVM: gc=1 7.5 s, 8 10.1 s, 32
+        # 28.5 s).  Explicit int skips auto's stats pass.
+        group_cells=1,
     )
 
 

@@ -102,9 +102,12 @@ def salt_cogroup_keys(
     cells that fixed cost WAS the whole query (measured at sf0.1: the
     headline krige spent 5.8 s of 7.1 s in a trivial-kernel cogroup over
     1,600 groups of ~62 targets).  'auto' (default) sizes the factor
-    from one distinct-cell count over the targets so that ~4 groups land
-    per core (the aggregate is one cheap partial-agg pass; pass an int —
-    1 disables — to skip it).  Per-fine-cell results are bitwise
+    from one per-cell-count stats pass over the targets so that ~2 groups
+    land per core — UNLESS the counts are skewed (max > 4× mean), where
+    it keeps fine cells: merging adjacent hot-region cells re-serializes
+    exactly what ``salt_hot`` splits (sphere path at sf0.1: gc=1 7.5 s,
+    gc=8 10.1 s, gc=32 28.5 s).  Pass an int (1 disables) to skip the
+    stats pass when table stats are known.  Per-fine-cell results are bitwise
     IDENTICAL under any grouping: the same fine (cell, targets, ring)
     triples reach the same solver, whose internal orders are
     canonicalized (the salting-invariance pins cover this property).
@@ -141,6 +144,53 @@ def salt_cogroup_keys(
         .drop("_ksalts", "_hot")
     )
     return t, c, jkeys + ["_ksalt"]
+
+
+def auto_group_factor(
+    t: DataFrame,
+    fine_keys: Sequence[str],
+    parallelism: int,
+    groups_per_core: int = 2,
+    skew_cap: float = 4.0,
+) -> int:
+    """Pick the super-cell grouping factor from ONE stats pass over the
+    staged targets ``t`` (``group_cells='auto'``).
+
+    A two-level aggregate over per-fine-cell target counts yields (number
+    of cells, max count, mean count): only (cell, count) pairs cross the
+    exchange — bounded by n_cells with map-side partial agg; the target
+    rows never shuffle for this — and the collected result is one row.
+    Production jobs that know their stats pass an explicit int and skip
+    the pass entirely.
+
+    The factor targets ``groups_per_core`` cogroup groups per core (the
+    per-group Arrow/pandas dispatch is near-serial, so fewer groups win
+    until load balance bites), EXCEPT under spatial skew: super-grouping
+    merges ADJACENT cells into one cogroup task, so on a lopsided density
+    (the north-star geocoder concentrates pages in city cells by
+    construction) it re-serializes exactly the hot region ``salt_hot``
+    just split — measured at sf0.1 on the sphere path: group_cells=1
+    7.5 s, 8 10.1 s, 32 28.5 s.  A max/mean cell-count ratio above
+    ``skew_cap`` keeps fine-cell granularity (uniform-density grids sit
+    near ~2)."""
+    d_block = len(fine_keys)
+    row = (
+        t.groupBy(*fine_keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.count(F.lit(1)).alias("cells"),
+            F.max("_n").alias("mx"),
+            F.avg("_n").alias("av"),
+        )
+        .collect()[0]
+    )
+    n_cells = row["cells"] or 1
+    if row["mx"] is not None and row["mx"] > skew_cap * (row["av"] or 1.0):
+        return 1
+    return max(
+        1,
+        int(round((n_cells / max(groups_per_core * parallelism, 1)) ** (1.0 / d_block))),
+    )
 
 
 def _pairwise_hav(A: np.ndarray, B: np.ndarray) -> np.ndarray:
@@ -577,15 +627,10 @@ def krige(
     base_fn = solve_cell_knn if knn is not None else solve_cell
 
     if group_cells == "auto":
-        # target ~2 groups per core: the per-group Arrow/pandas dispatch
-        # cost is near-serial (A/B at sf0.1: 1600 groups cost ~5.8 s of
-        # trivial-kernel time, 25 groups ~0.1 s), so fewer groups win
-        # until load balance bites — 2/core keeps a straggler cushion for
-        # spatially-skewed densities while shedding ~97% of the dispatch
-        par = targets.sparkSession.sparkContext.defaultParallelism
-        n_cells = t.select(*jkeys[:d_block]).distinct().count()
-        mult = max(
-            1, int(round((n_cells / max(2 * par, 1)) ** (1.0 / d_block)))
+        mult = auto_group_factor(
+            t,
+            jkeys[:d_block],
+            targets.sparkSession.sparkContext.defaultParallelism,
         )
     else:
         mult = max(1, int(group_cells))

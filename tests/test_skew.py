@@ -148,6 +148,30 @@ def test_krige_super_grouping_bitwise_invariant(spark):
     assert _collect_krige(both) == _collect_krige(base)
 
 
+def test_auto_group_factor_skew_guard(spark):
+    """'auto' groups a uniform cell grid (~2 groups/core) but keeps fine
+    cells on a skewed density: merging adjacent hot-region cells would
+    re-serialize exactly what salt_hot splits (measured 7.5→28.5 s on the
+    sphere path as the factor grows)."""
+    from gstools_core_spark.operators.kriging import auto_group_factor
+
+    # uniform 40×40 cell grid, one point per cell → no skew, factor from
+    # the 2-groups/core rule: sqrt(1600 / (2·par))
+    grid = spark.range(1600).select(
+        (F.col("id") % 40).alias("cx"), (F.col("id") / 40).cast("long").alias("cy")
+    )
+    par = 8
+    got = auto_group_factor(grid, ["cx", "cy"], par)
+    assert got == max(1, int(round((1600 / (2 * par)) ** 0.5)))
+
+    # 80% of rows in ONE cell → max/mean ≫ 4 → guard keeps fine cells
+    skewed = spark.range(1000).select(
+        F.when(F.col("id") < 800, F.lit(0)).otherwise(F.col("id")).alias("cx"),
+        F.lit(0).alias("cy"),
+    )
+    assert auto_group_factor(skewed, ["cx", "cy"], par) == 1
+
+
 def test_krige_salting_splits_hot_cell(spark):
     """One hot cell becomes S cogroup sub-keys (targets hashed across all S
     salts, cond ring replicated ×S); cold cells keep salt 0 unreplicated."""
