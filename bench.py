@@ -85,12 +85,17 @@ def bench_krige(spark, sf_dir):
     # HEAVY max_cond=768: per-cell inv() is the dominant compute
     # (~0.3 GFlop × 400 cells); at 512 the whole query was ~10 s at
     # local[2] and fixed overhead blurred the scaling signal
-    # group_cells from table stats (1,600 uniform cells of ~62 targets):
-    # 8 → 25 super-groups.  The per-group Arrow/pandas dispatch is
-    # near-serial, so at sf0.1 group sizes the dispatch floor dominates
-    # the 2-groups/core balance rule (measured one-JVM: gc=1 9.9 s,
-    # auto/5 4.4 s, 8 3.3 s); passing the int also skips auto's stats
-    # pass — production sizes it from stored table stats the same way
+    # group_cells from table stats (1,600 uniform cells of ~62 targets).
+    # Default load: 8 → 25 super-groups — the per-group Arrow/pandas
+    # dispatch is near-serial, so at sf0.1 group sizes the dispatch floor
+    # dominates the 2-groups/core balance rule (measured one-JVM: gc=1
+    # 9.9 s, auto/5 4.4 s, 8 3.3 s).  HEAVY (scaling evidence, compute-
+    # dominated 768-point solves): 2 → 400 groups, ~12/core at local[32]
+    # — with heavy per-cell compute the dispatch saving is noise, so the
+    # factor serves load balance instead (one-JVM @32: gc=2 4.3-5.1 s,
+    # gc=4 4.9-5.1 s, gc=8 5.3-5.5 s).  Passing the int also skips
+    # auto's stats pass — production sizes it from stored table stats
+    # the same way.
     return krige(
         pts,
         cond,
@@ -98,7 +103,7 @@ def bench_krige(spark, sf_dir):
         radius=BENCH_RADIUS,
         method="ordinary",
         max_cond=768 if HEAVY else 256,
-        group_cells=8,
+        group_cells=2 if HEAVY else 8,
     )
 
 
@@ -117,8 +122,8 @@ def bench_krige_knn(spark, sf_dir):
         pts, cond, model, radius=BENCH_RADIUS, method="ordinary",
         knn=64 if HEAVY else 16,
         # same uniform 1,600-cell grid as bench_krige → same stats-derived
-        # grouping factor (see the note there)
-        group_cells=8,
+        # grouping factors (see the note there)
+        group_cells=2 if HEAVY else 8,
     )
 
 
