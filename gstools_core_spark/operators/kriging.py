@@ -75,6 +75,7 @@ def salt_cogroup_keys(
     tid_col: str,
     salt_hot: int,
     hot_threshold: int,
+    counts: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, list[str]]:
     """Split hot blocking cells across ``salt_hot`` cogroup sub-keys.
 
@@ -103,7 +104,8 @@ def salt_cogroup_keys(
     headline krige spent 5.8 s of 7.1 s in a trivial-kernel cogroup over
     1,600 groups of ~62 targets).  'auto' (default) sizes the factor
     from one per-cell-count stats pass over the targets so that ~2 groups
-    land per core — UNLESS the counts are skewed (max > 4× mean), where
+    land per core — UNLESS the counts are skewed (max above both 4× mean
+    and a Poisson extreme-value floor — see auto_group_factor), where
     it keeps fine cells: merging adjacent hot-region cells re-serializes
     exactly what ``salt_hot`` splits (sphere path at sf0.1: gc=1 7.5 s,
     gc=8 10.1 s, gc=32 28.5 s).  Pass an int (1 disables) to skip the
@@ -112,10 +114,10 @@ def salt_cogroup_keys(
     triples reach the same solver, whose internal orders are
     canonicalized (the salting-invariance pins cover this property).
     """
+    if counts is None:
+        counts = cell_count_df(t, jkeys)
     hot = (
-        t.groupBy(*jkeys)
-        .agg(F.count(F.lit(1)).alias("_hot_n"))
-        .where(F.col("_hot_n") > hot_threshold)
+        counts.where(F.col("_hot_n") > hot_threshold)
         .select(*jkeys, F.lit(True).alias("_hot"))
     )
     t = (
@@ -146,20 +148,30 @@ def salt_cogroup_keys(
     return t, c, jkeys + ["_ksalt"]
 
 
+def cell_count_df(t: DataFrame, fine_keys: Sequence[str]) -> DataFrame:
+    """Per-fine-cell target counts → (fine_keys…, _hot_n) — the ONE stats
+    aggregate shared by ``auto_group_factor`` and ``salt_cogroup_keys``
+    hot detection (only (cell, count) pairs cross the exchange, with
+    map-side partial agg; the target rows never shuffle for this)."""
+    return t.groupBy(*fine_keys).agg(F.count(F.lit(1)).alias("_hot_n"))
+
+
 def auto_group_factor(
     t: DataFrame,
     fine_keys: Sequence[str],
     parallelism: int,
     groups_per_core: int = 2,
     skew_cap: float = 4.0,
+    counts: DataFrame | None = None,
 ) -> int:
     """Pick the super-cell grouping factor from ONE stats pass over the
     staged targets ``t`` (``group_cells='auto'``).
 
-    A two-level aggregate over per-fine-cell target counts yields (number
-    of cells, max count, mean count): only (cell, count) pairs cross the
-    exchange — bounded by n_cells with map-side partial agg; the target
-    rows never shuffle for this — and the collected result is one row.
+    A second-level aggregate over the per-fine-cell counts yields (number
+    of cells, max count, mean count) as one collected row.  Pass
+    ``counts`` (a ``cell_count_df`` result) to reuse an aggregate another
+    consumer already needs — krige does this when ``salt_hot`` is also
+    set, so salting's hot detection and this decision share one pass.
     Production jobs that know their stats pass an explicit int and skip
     the pass entirely.
 
@@ -170,22 +182,26 @@ def auto_group_factor(
     (the north-star geocoder concentrates pages in city cells by
     construction) it re-serializes exactly the hot region ``salt_hot``
     just split — measured at sf0.1 on the sphere path: group_cells=1
-    7.5 s, 8 10.1 s, 32 28.5 s.  A max/mean cell-count ratio above
-    ``skew_cap`` keeps fine-cell granularity (uniform-density grids sit
-    near ~2)."""
+    7.5 s, 8 10.1 s, 32 28.5 s.  Skew test: max count above BOTH
+    ``skew_cap``× the mean AND a Poisson extreme-value allowance
+    (mean + 6·√mean + 10) — the pure ratio test degenerates on sparse
+    densities (Poisson with mean ≤ ~1.5 has max/mean > 4 over enough
+    cells almost surely), which would silently forfeit grouping on
+    exactly the thousands-of-tiny-cells inputs it exists for."""
     d_block = len(fine_keys)
+    if counts is None:
+        counts = cell_count_df(t, fine_keys)
     row = (
-        t.groupBy(*fine_keys)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .agg(
+        counts.agg(
             F.count(F.lit(1)).alias("cells"),
-            F.max("_n").alias("mx"),
-            F.avg("_n").alias("av"),
-        )
-        .collect()[0]
+            F.max("_hot_n").alias("mx"),
+            F.avg("_hot_n").alias("av"),
+        ).collect()[0]
     )
     n_cells = row["cells"] or 1
-    if row["mx"] is not None and row["mx"] > skew_cap * (row["av"] or 1.0):
+    av = row["av"] or 1.0
+    skew_floor = av + 6.0 * float(av) ** 0.5 + 10.0
+    if row["mx"] is not None and row["mx"] > max(skew_cap * av, skew_floor):
         return 1
     return max(
         1,
@@ -349,9 +365,30 @@ def krige(
         c_cells = _grid_cells(tuple(f"c{k}" for k in range(d)), radius)
     c = _ring_stamp(c_sel, c_cells, wrap_n=wrap_n)
 
+    # ONE shared per-cell-count aggregate feeds both the 'auto' grouping
+    # decision and salting's hot detection (they need the same counts;
+    # persist only when both consume it — auto's collect populates the
+    # cache, the salting broadcast join then reuses it instead of
+    # re-scanning the targets).  The cached DF is (n_cells × 1 long) tiny
+    # and evicted LRU with the session.
+    cell_counts = None
+    if salt_hot or group_cells == "auto":
+        cell_counts = cell_count_df(t, jkeys)
+        if salt_hot and group_cells == "auto":
+            cell_counts = cell_counts.persist()
+    if group_cells == "auto":
+        mult = auto_group_factor(
+            t,
+            jkeys,
+            targets.sparkSession.sparkContext.defaultParallelism,
+            counts=cell_counts,
+        )
+    else:
+        mult = max(1, int(group_cells))
+
     if salt_hot:
         t, c, jkeys = salt_cogroup_keys(
-            t, c, jkeys, "tid", salt_hot, hot_threshold
+            t, c, jkeys, "tid", salt_hot, hot_threshold, counts=cell_counts
         )
 
     nugget = model.nugget
@@ -625,15 +662,6 @@ def krige(
         )
 
     base_fn = solve_cell_knn if knn is not None else solve_cell
-
-    if group_cells == "auto":
-        mult = auto_group_factor(
-            t,
-            jkeys[:d_block],
-            targets.sparkSession.sparkContext.defaultParallelism,
-        )
-    else:
-        mult = max(1, int(group_cells))
 
     if mult > 1:
         fine = jkeys[:d_block]

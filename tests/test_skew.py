@@ -164,12 +164,31 @@ def test_auto_group_factor_skew_guard(spark):
     got = auto_group_factor(grid, ["cx", "cy"], par)
     assert got == max(1, int(round((1600 / (2 * par)) ** 0.5)))
 
-    # 80% of rows in ONE cell → max/mean ≫ 4 → guard keeps fine cells
+    # 80% of rows in ONE cell → max/mean ≫ 4 AND above the Poisson floor
+    # → guard keeps fine cells
     skewed = spark.range(1000).select(
         F.when(F.col("id") < 800, F.lit(0)).otherwise(F.col("id")).alias("cx"),
         F.lit(0).alias("cy"),
     )
     assert auto_group_factor(skewed, ["cx", "cy"], par) == 1
+
+    # SPARSE-uniform: mean ~1 per cell with one 8-row cell — max/mean > 4
+    # but max is ordinary Poisson jitter (below mean + 6·√mean + 10), and
+    # a pure ratio test would forfeit grouping on exactly the
+    # thousands-of-tiny-cells input grouping exists for
+    sparse = spark.range(1600).select(
+        F.when(F.col("id") < 8, F.lit(0)).otherwise(F.col("id")).alias("cx"),
+        F.lit(0).alias("cy"),
+    )
+    got_sparse = auto_group_factor(sparse, ["cx", "cy"], par)
+    assert got_sparse == max(1, int(round((1593 / (2 * par)) ** 0.5)))
+
+    # precomputed-counts path (shared with salting's hot detection) gives
+    # the identical decision
+    from gstools_core_spark.operators.kriging import cell_count_df
+
+    counts = cell_count_df(skewed, ["cx", "cy"])
+    assert auto_group_factor(skewed, ["cx", "cy"], par, counts=counts) == 1
 
 
 def test_krige_salting_splits_hot_cell(spark):
