@@ -271,12 +271,16 @@ def bench_pages_geo_krige(spark, sf_dir):
         # at 100× the en city-cells exceed it and split S ways instead of
         # serializing the cogroup stage — the benched plan IS the scale plan
         salt_hot=8,
-        # fine-cell granularity: the 0.05°-cell counts here are lang-skewed
-        # (auto's skew guard picks 1 from the same stats — max/mean ≫ 4);
-        # super-grouping would merge the hot-region cells back into
-        # straggler tasks (measured one-JVM: gc=1 7.5 s, 8 10.1 s, 32
-        # 28.5 s).  Explicit int skips auto's stats pass.
-        group_cells=1,
+        # 'auto' = the production HYBRID: the 0.05°-cell counts here are
+        # lang-skewed (max ≫ mean), so a uniform factor would merge the
+        # hot-region cells into straggler tasks (measured one-JVM: gc=8
+        # 10.1 s vs gc=1 7.5 s) — auto instead keeps the skew-causing
+        # cells FINE and super-groups only the cold tail, which beat
+        # explicit gc=1 in 4/4 interleaved one-JVM pairs (23.5/28.3,
+        # 9.1/13.9, 24.2/25.9, 11.7/17.6 s) even paying its stats pass.
+        # At 100× the cold tail grows linearly while the hot set doesn't:
+        # the benched plan IS the scale plan.
+        group_cells="auto",
     )
 
 

@@ -188,6 +188,39 @@ def auto_group_factor(
     densities (Poisson with mean ≤ ~1.5 has max/mean > 4 over enough
     cells almost surely), which would silently forfeit grouping on
     exactly the thousands-of-tiny-cells inputs it exists for."""
+    mult, keep_fine = auto_group_plan(
+        t, fine_keys, parallelism, groups_per_core, skew_cap, counts
+    )
+    # single-factor contract: under skew the only safe GLOBAL factor is 1
+    # (krige itself uses auto_group_plan's hybrid instead)
+    return 1 if keep_fine is not None else mult
+
+
+def auto_group_plan(
+    t: DataFrame,
+    fine_keys: Sequence[str],
+    parallelism: int,
+    groups_per_core: int = 2,
+    skew_cap: float = 4.0,
+    counts: DataFrame | None = None,
+) -> tuple[int, DataFrame | None]:
+    """Full 'auto' grouping decision → ``(mult, keep_fine)``.
+
+    Uniform density → ``(factor from the groups_per_core rule, None)``:
+    every cell joins a super-cell.  Skewed density (see
+    ``auto_group_factor`` for the statistic) → HYBRID grouping: the
+    skew-causing cells (count above the skew threshold) are returned as
+    ``keep_fine`` — a broadcast-able (fine_keys…) DataFrame — and stay at
+    fine granularity (one cogroup group each, splittable further by
+    ``salt_hot``), while the factor is re-derived from the COLD cell
+    count so the long tail of tiny cells still sheds its near-serial
+    per-group dispatch.  At 100× the cold tail grows linearly with the
+    corpus while per-cell work stays bounded, so grouping only-the-cold
+    is the scale design: merging hot regions was measured 7.5 → 28.5 s
+    on the sphere path, while NOT grouping the tail pays thousands of
+    ~3 ms dispatches.  ``keep_fine`` is None when no cell clears the
+    threshold.  When ``counts`` spans >1 consumer the caller should
+    persist it (krige does)."""
     d_block = len(fine_keys)
     if counts is None:
         counts = cell_count_df(t, fine_keys)
@@ -201,12 +234,27 @@ def auto_group_factor(
     n_cells = row["cells"] or 1
     av = row["av"] or 1.0
     skew_floor = av + 6.0 * float(av) ** 0.5 + 10.0
-    if row["mx"] is not None and row["mx"] > max(skew_cap * av, skew_floor):
-        return 1
-    return max(
-        1,
-        int(round((n_cells / max(groups_per_core * parallelism, 1)) ** (1.0 / d_block))),
+    thresh = max(skew_cap * av, skew_floor)
+
+    def rule(n: int) -> int:
+        return max(
+            1,
+            int(
+                round(
+                    (n / max(groups_per_core * parallelism, 1)) ** (1.0 / d_block)
+                )
+            ),
+        )
+
+    if row["mx"] is None or row["mx"] <= thresh:
+        return rule(n_cells), None
+    # skewed: one more TINY aggregate over the (persisted) counts — how
+    # many cells are cold — plus the keep-fine set itself
+    n_cold = (
+        counts.where(F.col("_hot_n") <= F.lit(thresh)).count()
     )
+    keep_fine = counts.where(F.col("_hot_n") > F.lit(thresh)).select(*fine_keys)
+    return rule(max(n_cold, 1)), keep_fine
 
 
 def _pairwise_hav(A: np.ndarray, B: np.ndarray) -> np.ndarray:
@@ -372,12 +420,18 @@ def krige(
     # re-scanning the targets).  The cached DF is (n_cells × 1 long) tiny
     # and evicted LRU with the session.
     cell_counts = None
+    keep_fine = None
     if salt_hot or group_cells == "auto":
         cell_counts = cell_count_df(t, jkeys)
-        if salt_hot and group_cells == "auto":
+        if group_cells == "auto":
+            # ≥2 potential consumers (the summary collect; under skew the
+            # cold-cell count and the keep_fine broadcast; salting's hot
+            # detection) — persist so the first collect populates a cache
+            # the rest reuse instead of re-scanning the targets.  The
+            # cached DF is (n_cells × 1 long) tiny, evicted LRU.
             cell_counts = cell_counts.persist()
     if group_cells == "auto":
-        mult = auto_group_factor(
+        mult, keep_fine = auto_group_plan(
             t,
             jkeys,
             targets.sparkSession.sparkContext.defaultParallelism,
@@ -666,13 +720,50 @@ def krige(
     if mult > 1:
         fine = jkeys[:d_block]
         skeys = [f"sc{k}" for k in range(d_block)]
-        sexprs = [
-            F.floor(F.col(fine[k]) / F.lit(mult)).cast("long")
-            for k in range(d_block)
-        ]
-        t = t.select("*", *[e.alias(s) for e, s in zip(sexprs, skeys)])
-        c = c.select("*", *[e.alias(s) for e, s in zip(sexprs, skeys)])
-        group_keys = skeys + jkeys[d_block:]  # _ksalt stays a group key
+        if keep_fine is not None:
+            # HYBRID grouping (auto under skew): the skew-causing cells —
+            # broadcast onto both cogroup sides, same pattern as salting's
+            # hot set — keep FINE granularity (one group each, further
+            # splittable by salt_hot), while the cold tail groups into
+            # super-cells.  The _scf flag joins the group key so a fine
+            # cell id can never collide with a super-cell id.
+            # one kf instance PER SIDE: sharing one DataFrame between the
+            # two cogroup inputs makes _gfine's attribute id ambiguous at
+            # the cogroup analysis (self-join lineage)
+            t = t.join(
+                F.broadcast(keep_fine.withColumn("_gfine", F.lit(True))),
+                fine,
+                "left",
+            )
+            c = c.join(
+                F.broadcast(keep_fine.withColumn("_gfine", F.lit(True))),
+                fine,
+                "left",
+            )
+            flag = F.coalesce(F.col("_gfine"), F.lit(False))
+            sexprs = [
+                F.when(flag, F.col(fine[k]))
+                .otherwise(F.floor(F.col(fine[k]) / F.lit(mult)))
+                .cast("long")
+                for k in range(d_block)
+            ]
+            flag_cols = [flag.alias("_scf")]
+            flag_keys = ["_scf"]
+        else:
+            sexprs = [
+                F.floor(F.col(fine[k]) / F.lit(mult)).cast("long")
+                for k in range(d_block)
+            ]
+            flag_cols = []
+            flag_keys = []
+        t = t.select(
+            "*", *[e.alias(s) for e, s in zip(sexprs, skeys)], *flag_cols
+        )
+        c = c.select(
+            "*", *[e.alias(s) for e, s in zip(sexprs, skeys)], *flag_cols
+        )
+        # _ksalt (and the fine/super disambiguation flag) stay group keys
+        group_keys = skeys + flag_keys + jkeys[d_block:]
 
         def solve_super(key, t_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
             # iterate the fine blocking cells inside ONE cogroup group:

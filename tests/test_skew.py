@@ -185,10 +185,25 @@ def test_auto_group_factor_skew_guard(spark):
 
     # precomputed-counts path (shared with salting's hot detection) gives
     # the identical decision
-    from gstools_core_spark.operators.kriging import cell_count_df
+    from gstools_core_spark.operators.kriging import (
+        auto_group_plan,
+        cell_count_df,
+    )
 
     counts = cell_count_df(skewed, ["cx", "cy"])
     assert auto_group_factor(skewed, ["cx", "cy"], par, counts=counts) == 1
+
+    # the full plan: uniform → (rule factor, no keep-fine set); skewed →
+    # HYBRID — the skew-causing cell keeps fine granularity while the
+    # factor is re-derived from the COLD cell count (the tail still sheds
+    # its dispatch; at 100× the tail grows linearly, the hot set doesn't)
+    m_u, kf_u = auto_group_plan(grid, ["cx", "cy"], par)
+    assert kf_u is None and m_u == got
+    m_s, kf_s = auto_group_plan(skewed, ["cx", "cy"], par)
+    fine_rows = {(r["cx"], r["cy"]) for r in kf_s.collect()}
+    assert fine_rows == {(0, 0)}
+    # 200 cold single-row cells → rule over 200, not 201
+    assert m_s == max(1, int(round((200 / (2 * par)) ** 0.5)))
 
 
 def test_krige_salting_splits_hot_cell(spark):
