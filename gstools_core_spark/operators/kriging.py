@@ -428,8 +428,11 @@ def krige(
             # cold-cell count and the keep_fine broadcast; salting's hot
             # detection) — persist so the first collect populates a cache
             # the rest reuse instead of re-scanning the targets.  The
-            # cached DF is (n_cells × 1 long) tiny, evicted LRU.
-            cell_counts = cell_counts.persist()
+            # cached DF is (n_cells × 1 long) tiny; tracked so long-lived
+            # drivers release it via cache.clear_tracked() between jobs.
+            from gstools_core_spark.operators.cache import track
+
+            cell_counts = track(cell_counts.persist())
     if group_cells == "auto":
         mult, keep_fine = auto_group_plan(
             t,
