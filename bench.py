@@ -310,6 +310,47 @@ def bench_ann(spark, sf_dir):
     return cosine_topk(q, emb, k=10, query_id="vec_id", base_id="vec_id")
 
 
+def calib_jvm_scan(spark, sf_dir):
+    """Window-speed calibration probe #1: pure-JVM whole-stage-codegen
+    arithmetic over a range — no Python workers, no shuffle, no disk.  Its
+    wall time tracks the host window's CPU/steal speed, so two bench runs
+    from different windows can be ratio-normalized (round-4 residual: the
+    driver window ran every query 1.2-2.3× the builder's quiet window and
+    the per-query numbers alone could not prove which regressions were
+    host noise)."""
+    n = 12_000_000_000  # ~3 s at local[32] on a quiet host — long enough
+    # that the best-of-3 ratio between two windows is meaningful
+    return spark.range(0, n, 1, spark.sparkContext.defaultParallelism).select(
+        F.sum((F.col("id") % 7) * 3 + 1).alias("s")
+    )
+
+
+def calib_pandas_cogroup(spark, sf_dir):
+    """Calibration probe #2: trivial-kernel pandas cogroup over ~1000
+    groups — measures the Arrow/pandas per-group dispatch cost (near-serial
+    ~3 ms/group on a quiet host), the fixed term that dominates the
+    cogrouped kriging paths' sensitivity to host noise."""
+    a = spark.range(0, 4000, 1, 32).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    b = spark.range(0, 4000, 1, 32).select(
+        (F.col("id") % 1000).alias("k"), (F.col("id") * 2).alias("v")
+    )
+    return (
+        a.groupBy("k")
+        .cogroup(b.groupBy("k"))
+        .applyInPandas(lambda left, right: left, "k long, v long")
+    )
+
+
+# fixed-cost probes measured per full run (same fresh-JVM best-of-3
+# protocol as the queries) and recorded alongside them — NOT part of the
+# benchmark metric
+CALIB = {
+    "_calib_jvm_scan": calib_jvm_scan,
+    "_calib_pandas_cogroup": calib_pandas_cogroup,
+}
+
 # headline (north-rule throughput) queries run FIRST on the clean JVM
 QUERIES = {
     "variogram": bench_variogram,
@@ -352,7 +393,7 @@ def _run_in_process(names, sf_dir, cpus) -> dict:
     ).write.format("noop").mode("overwrite").save()
     times = {}
     for name in names:
-        fn = QUERIES[name]
+        fn = QUERIES.get(name) or CALIB[name]
         # best-of-3 for EVERY query: with the pool warm every rep measures
         # the plan; the min rides out host bursts (round-4 attribution saw
         # same-query quiet-window reps span 8.5-25.4 s — two reps leave a
@@ -378,6 +419,7 @@ def main():
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     names = subset.split(",") if subset else list(QUERIES)
 
+    calib = {}
     if os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1" or len(names) == 1:
         times = _run_in_process(names, sf_dir, cpus)
     else:
@@ -389,8 +431,7 @@ def main():
         import subprocess
         import sys as _sys
 
-        times = {}
-        for name in names:
+        def _child(name: str) -> float:
             env = dict(
                 os.environ,
                 SPARK_GRAFT_BENCH_QUERIES=name,
@@ -411,7 +452,13 @@ def main():
                     "(stderr above)"
                 )
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            times[name] = json.loads(line)["queries"][name]
+            return json.loads(line)["queries"][name]
+
+        # calibration FIRST: the fixed-cost probes stamp the window's speed
+        # before any query runs (so a mid-run host burst can't make the
+        # probes vouch for numbers they didn't share a window with)
+        calib = {name: _child(name) for name in CALIB}
+        times = {name: _child(name) for name in names}
 
     import duckdb
 
@@ -428,24 +475,40 @@ def main():
     except ValueError:
         sf = None
 
-    # pin the protocol + per-query record in-repo so round-over-round diffs
-    # compare like with like (r1 in-sequence → r2 best-of-2 same-JVM → r3+
+    # pin the protocol + per-query record so round-over-round diffs compare
+    # like with like (r1 in-sequence → r2 best-of-2 same-JVM → r3+
     # fresh-JVM-per-query best-of-2 with Python-worker pool warmup; the r3
     # "regressions" were un-attributable because only the aggregate line
-    # was committed)
-    if not subset:  # full runs only — partial runs would clobber the record
+    # was committed).  Every full run writes a TIMESTAMPED record; the
+    # committed canonical BENCH_QUERIES.json is updated ONLY under
+    # SPARK_GRAFT_RECORD=1 — round 4's driver run silently overwrote the
+    # builder's quiet-window record in the working tree, defeating the
+    # file's whole purpose.
+    if not subset:  # full runs only — partial runs would skew the record
         record = {
             "protocol": "fresh JVM per query, Python-worker pool warmup, "
-            "best of 3 in-JVM reps, System.gc() between reps",
+            "best of 3 in-JVM reps, System.gc() between reps; "
+            "calib = fixed-cost window probes (JVM codegen scan, "
+            "1000-group trivial pandas cogroup) measured first under the "
+            "same protocol — ratio two runs' calib values to normalize "
+            "host-window speed before comparing query times",
             "queries": times,
+            "calib": calib,
             "sf": sf,
             "cpus": cpus,
             "heavy": HEAVY,
+            "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"),
-            "w",
-        ) as f:
+        here = os.path.dirname(os.path.abspath(__file__))
+        if os.environ.get("SPARK_GRAFT_RECORD") == "1":
+            run_dir = os.path.join(here, "bench_runs")
+            with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
+                json.dump(record, f, indent=1)
+        else:
+            run_dir = "/tmp/spark_graft_bench_runs"
+        os.makedirs(run_dir, exist_ok=True)
+        stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+        with open(os.path.join(run_dir, f"run_{stamp}.json"), "w") as f:
             json.dump(record, f, indent=1)
 
     print(
@@ -455,6 +518,7 @@ def main():
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "calib": calib,
                 "sf": sf,
                 "cpus": cpus,
                 "input_rows": n_rows,

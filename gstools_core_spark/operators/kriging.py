@@ -76,6 +76,8 @@ def salt_cogroup_keys(
     salt_hot: int,
     hot_threshold: int,
     counts: DataFrame | None = None,
+    hot_cap: int | None = None,
+    hot: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, list[str]]:
     """Split hot blocking cells across ``salt_hot`` cogroup sub-keys.
 
@@ -113,13 +115,28 @@ def salt_cogroup_keys(
     IDENTICAL under any grouping: the same fine (cell, targets, ring)
     triples reach the same solver, whose internal orders are
     canonicalized (the salting-invariance pins cover this property).
+
+    ``hot_cap`` — BOUND the broadcast hot set at the top-``hot_cap`` cells
+    by target count (deterministic tie-break on the cell keys).  The skew
+    threshold is absolute here but relative-to-mean in the auto-grouping
+    sibling; on a heavy-tailed (Zipfian city-cell) density at 100× the
+    above-threshold set can grow without bound — cells barely above it
+    gain nothing from salting but would each ship to every task.  Salting
+    fewer cells never changes the output (the invariance pin), only which
+    cells get split, so capping is free correctness-wise.
+    ``hot`` — a precomputed hot-cell DataFrame (``jkeys`` columns only);
+    overrides detection entirely (krige passes a collected literal so the
+    persisted stats DF behind it can be unpersisted immediately).
     """
-    if counts is None:
-        counts = cell_count_df(t, jkeys)
-    hot = (
-        counts.where(F.col("_hot_n") > hot_threshold)
-        .select(*jkeys, F.lit(True).alias("_hot"))
-    )
+    if hot is not None:
+        hot = hot.select(*jkeys, F.lit(True).alias("_hot"))
+    else:
+        if counts is None:
+            counts = cell_count_df(t, jkeys)
+        hot = counts.where(F.col("_hot_n") > hot_threshold)
+        if hot_cap is not None:
+            hot = hot.orderBy(F.col("_hot_n").desc(), *jkeys).limit(hot_cap)
+        hot = hot.select(*jkeys, F.lit(True).alias("_hot"))
     t = (
         t.join(F.broadcast(hot), jkeys, "left")
         .withColumn(
@@ -146,6 +163,18 @@ def salt_cogroup_keys(
         .drop("_ksalts", "_hot")
     )
     return t, c, jkeys + ["_ksalt"]
+
+
+def _literal_cells(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Collect a BOUNDED (≤hot_cap-row) cell-key DataFrame into a literal
+    in-memory DataFrame.  The hot/keep-fine sets are lazy views over the
+    persisted stats DF; materializing them (cheap — the stats cache is
+    warm, the row count capped) lets krige unpersist the stats DF at
+    plan-construction time instead of leaving it cached until
+    cache.clear_tracked()."""
+    rows = [tuple(r[c] for c in cols) for r in df.collect()]
+    schema = ", ".join(f"{c} long" for c in cols)
+    return df.sparkSession.createDataFrame(rows, schema)
 
 
 def cell_count_df(t: DataFrame, fine_keys: Sequence[str]) -> DataFrame:
@@ -203,6 +232,7 @@ def auto_group_plan(
     groups_per_core: int = 2,
     skew_cap: float = 4.0,
     counts: DataFrame | None = None,
+    keep_cap: int | None = None,
 ) -> tuple[int, DataFrame | None]:
     """Full 'auto' grouping decision → ``(mult, keep_fine)``.
 
@@ -220,7 +250,17 @@ def auto_group_plan(
     on the sphere path, while NOT grouping the tail pays thousands of
     ~3 ms dispatches.  ``keep_fine`` is None when no cell clears the
     threshold.  When ``counts`` spans >1 consumer the caller should
-    persist it (krige does)."""
+    persist it (krige does).
+
+    ``keep_cap`` — BOUND ``keep_fine`` at the top-``keep_cap`` cells by
+    target count (deterministic tie-break on the cell keys): the skew
+    threshold is relative to the mean, so a heavy-tailed density at 100×
+    can push far more cells above it than there are cores — the tail of
+    barely-above-threshold cells gains nothing from fine granularity and
+    would bloat the broadcast.  Cells beyond the cap rejoin the grouped
+    cold tail (output bitwise-invariant under any split — the grouping
+    invariance pin); the grouping factor is re-derived counting them as
+    cold."""
     d_block = len(fine_keys)
     if counts is None:
         counts = cell_count_df(t, fine_keys)
@@ -249,12 +289,16 @@ def auto_group_plan(
     if row["mx"] is None or row["mx"] <= thresh:
         return rule(n_cells), None
     # skewed: one more TINY aggregate over the (persisted) counts — how
-    # many cells are cold — plus the keep-fine set itself
-    n_cold = (
-        counts.where(F.col("_hot_n") <= F.lit(thresh)).count()
-    )
-    keep_fine = counts.where(F.col("_hot_n") > F.lit(thresh)).select(*fine_keys)
-    return rule(max(n_cold, 1)), keep_fine
+    # many cells are hot — plus the keep-fine set itself
+    hot_cells = counts.where(F.col("_hot_n") > F.lit(thresh))
+    n_hot = hot_cells.count()
+    if keep_cap is not None:
+        hot_cells = hot_cells.orderBy(
+            F.col("_hot_n").desc(), *fine_keys
+        ).limit(keep_cap)
+    kept = n_hot if keep_cap is None else min(n_hot, keep_cap)
+    keep_fine = hot_cells.select(*fine_keys)
+    return rule(max(n_cells - kept, 1)), keep_fine
 
 
 def _pairwise_hav(A: np.ndarray, B: np.ndarray) -> np.ndarray:
@@ -300,6 +344,7 @@ def krige(
     salt_hot: int | None = None,
     hot_threshold: int = 50_000,
     group_cells: int | str = "auto",
+    hot_cap: int | None = None,
 ) -> DataFrame:
     """Krige ``cond`` onto ``targets`` → (id, <coords…>, krige_mean,
     krige_var, n_cond).  Any dimension (``coords`` of length d — blocking
@@ -354,6 +399,23 @@ def krige(
     cond ring replicated — see salt_cogroup_keys); the kriged output is
     bitwise identical (pytest-pinned) because every target still sees its
     cell's full cond ring and all per-group orders are canonicalized.
+
+    ``hot_cap`` — bound on BOTH broadcast hot sets (salting's split set and
+    auto-grouping's keep-fine set): only the top-``hot_cap`` cells by
+    target count are treated as hot (default ``16 × defaultParallelism``,
+    min 64; pass 0 to disable).  On a heavy-tailed density at 100× the
+    relative-to-mean skew threshold can mark far more cells than there are
+    cores; the tail of barely-hot cells gains nothing from splitting/fine
+    granularity but would bloat the per-task broadcast.  Output is bitwise
+    invariant under any cap (the salting/grouping invariance pins).
+
+    NOTE ``group_cells='auto'`` is EAGER: it runs 1-3 tiny Spark jobs at
+    DataFrame-CONSTRUCTION time (the per-cell stats aggregate + collect;
+    under skew also the hot-cell count and the ≤``hot_cap``-row hot-set
+    collects).  The stats DF is persisted only while the decision runs and
+    unpersisted before return — nothing stays cached.  Plan-only consumers
+    and repeated tiny interactive calls should pass an explicit int
+    (production jobs size it from table stats the same way).
     """
     if method not in ("simple", "ordinary", "universal"):
         raise ValueError(
@@ -416,36 +478,47 @@ def krige(
     # ONE shared per-cell-count aggregate feeds both the 'auto' grouping
     # decision and salting's hot detection (they need the same counts;
     # persist only when both consume it — auto's collect populates the
-    # cache, the salting broadcast join then reuses it instead of
-    # re-scanning the targets).  The cached DF is (n_cells × 1 long) tiny
-    # and evicted LRU with the session.
+    # cache, the later tiny aggregates reuse it instead of re-scanning the
+    # targets).  Both hot sets are bounded by ``hot_cap`` and collected to
+    # literal DataFrames while the cache is warm, so the stats DF is
+    # unpersisted BEFORE return — nothing survives plan construction.
+    par = targets.sparkSession.sparkContext.defaultParallelism
+    if hot_cap is None:
+        hot_cap = max(64, 16 * par)
+    cap = hot_cap if hot_cap > 0 else None
+
     cell_counts = None
     keep_fine = None
+    persisted = False
     if salt_hot or group_cells == "auto":
         cell_counts = cell_count_df(t, jkeys)
         if group_cells == "auto":
-            # ≥2 potential consumers (the summary collect; under skew the
-            # cold-cell count and the keep_fine broadcast; salting's hot
-            # detection) — persist so the first collect populates a cache
-            # the rest reuse instead of re-scanning the targets.  The
-            # cached DF is (n_cells × 1 long) tiny; tracked so long-lived
-            # drivers release it via cache.clear_tracked() between jobs.
-            from gstools_core_spark.operators.cache import track
-
-            cell_counts = track(cell_counts.persist())
+            cell_counts = cell_counts.persist()
+            persisted = True
     if group_cells == "auto":
         mult, keep_fine = auto_group_plan(
-            t,
-            jkeys,
-            targets.sparkSession.sparkContext.defaultParallelism,
-            counts=cell_counts,
+            t, jkeys, par, counts=cell_counts, keep_cap=cap
         )
     else:
         mult = max(1, int(group_cells))
 
+    hot_df = None
+    if salt_hot and persisted:
+        # build + collect the (≤cap-row) salting hot set NOW, while the
+        # stats DF is cached, so it need not outlive plan construction
+        hot_src = cell_counts.where(F.col("_hot_n") > hot_threshold)
+        if cap is not None:
+            hot_src = hot_src.orderBy(F.col("_hot_n").desc(), *jkeys).limit(cap)
+        hot_df = _literal_cells(hot_src.select(*jkeys), jkeys)
+    if persisted and keep_fine is not None:
+        keep_fine = _literal_cells(keep_fine, jkeys)
+    if persisted:
+        cell_counts.unpersist(blocking=False)
+
     if salt_hot:
         t, c, jkeys = salt_cogroup_keys(
-            t, c, jkeys, "tid", salt_hot, hot_threshold, counts=cell_counts
+            t, c, jkeys, "tid", salt_hot, hot_threshold,
+            counts=cell_counts, hot_cap=cap, hot=hot_df,
         )
 
     nugget = model.nugget
@@ -759,12 +832,15 @@ def krige(
             ]
             flag_cols = []
             flag_keys = []
+        # drop the join helper AFTER the select evaluates flag/sexprs: it
+        # would otherwise ride into the cogrouped Arrow frames (an extra
+        # boolean per row through the exchange, unused by solve_super)
         t = t.select(
             "*", *[e.alias(s) for e, s in zip(sexprs, skeys)], *flag_cols
-        )
+        ).drop("_gfine")
         c = c.select(
             "*", *[e.alias(s) for e, s in zip(sexprs, skeys)], *flag_cols
-        )
+        ).drop("_gfine")
         # _ksalt (and the fine/super disambiguation flag) stay group keys
         group_keys = skeys + flag_keys + jkeys[d_block:]
 

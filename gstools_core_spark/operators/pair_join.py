@@ -119,6 +119,7 @@ def pair_join(
     salt_partitions: int | None = None,
     salt_hot: int | None = None,
     hot_threshold: int = 50_000,
+    hot_cap: int | None = None,
 ) -> DataFrame:
     """Return one row per unordered pair (a, b) with dist(a,b) < max_dist.
 
@@ -137,7 +138,10 @@ def pair_join(
     the right side is replicated across all S salts — splitting one hot
     cell's pair work across S reducers.  Each pair is still produced exactly
     once (the left row's salt selects one of the S replicas).  Cold cells
-    pay nothing (salt 0, no replication).
+    pay nothing (salt 0, no replication).  ``hot_cap`` bounds the broadcast
+    hot set at the top-``hot_cap`` cells by count (see the inline note);
+    the pair output is identical under any cap — only which cells get the
+    salt treatment changes.
     """
     wrap_n: int | None = None
     if haversine:
@@ -208,10 +212,19 @@ def pair_join(
             pts.groupBy(*cell_names)
             .agg(F.count(F.lit(1)).alias("_hot_n"))
             .where(F.col("_hot_n") > hot_threshold)
-            .select(
-                *[F.col(cell_names[k]).alias(jkeys[k]) for k in range(d)],
-                F.lit(True).alias("_hot"),
-            )
+        )
+        if hot_cap is not None:
+            # bound the broadcast: only the top-hot_cap cells by count get
+            # salted (deterministic tie-break on the cell ids) — on a
+            # heavy-tailed density the above-threshold set is unbounded
+            # while the cells that matter are the few biggest; unsalted
+            # hot-tail cells are still split by AQE skew-join
+            hot = hot.orderBy(
+                F.col("_hot_n").desc(), *cell_names
+            ).limit(hot_cap)
+        hot = hot.select(
+            *[F.col(cell_names[k]).alias(jkeys[k]) for k in range(d)],
+            F.lit(True).alias("_hot"),
         )
         left = (
             left.join(F.broadcast(hot), join_keys, "left")

@@ -206,6 +206,80 @@ def test_auto_group_factor_skew_guard(spark):
     assert m_s == max(1, int(round((200 / (2 * par)) ** 0.5)))
 
 
+def test_hot_set_caps_bounded(spark):
+    """Heavy-tailed density: the skew threshold is relative to the mean, so
+    a Zipfian tail can push unboundedly many cells above it — both
+    broadcast hot sets (auto-grouping keep-fine, salting split set) must
+    be bounded at the top-K cells by count, deterministically."""
+    from gstools_core_spark.operators.kriging import (
+        auto_group_plan,
+        salt_cogroup_keys,
+    )
+
+    # 300 'hot' cells of 40 rows + 3000 single-row tail cells: mean ≈ 4.5,
+    # Poisson floor ≈ 27 → every 40-row cell clears the threshold, far
+    # more than any sane broadcast wants fine/salted
+    hot = spark.range(300 * 40).select(
+        (F.col("id") % 300).alias("cx"), F.lit(0).alias("cy")
+    )
+    tail = spark.range(3000).select(
+        (F.col("id") + 10_000).alias("cx"), F.lit(1).alias("cy")
+    )
+    df = hot.unionByName(tail)
+
+    cap = 16
+    m, kf = auto_group_plan(df, ["cx", "cy"], 8, keep_cap=cap)
+    assert kf is not None and kf.count() == cap
+    # deterministic top-K: equal counts tie-break on cell keys ascending
+    assert {r["cx"] for r in kf.collect()} == set(range(cap))
+    # the factor counts the beyond-cap hot cells as cold: 3300-16 cells
+    assert m == max(1, int(round(((3300 - cap) / (2 * 8)) ** 0.5)))
+    # uncapped: all 300 hot cells stay fine, factor from the 3000 cold
+    m_u, kf_u = auto_group_plan(df, ["cx", "cy"], 8)
+    assert kf_u.count() == 300
+    assert m_u == max(1, int(round((3000 / (2 * 8)) ** 0.5)))
+
+    # salting: with hot_cap only the top-K cells get salted/replicated
+    t = df.select(
+        F.monotonically_increasing_id().alias("tid"),
+        F.col("cx").alias("jc0"),
+        F.col("cy").alias("jc1"),
+    )
+    c = t.select(F.col("tid").alias("cid"), "jc0", "jc1")
+    ts, cs, keys = salt_cogroup_keys(
+        t, c, ["jc0", "jc1"], "tid", 4, 30, hot_cap=cap
+    )
+    salted_cells = (
+        cs.groupBy("jc0", "jc1")
+        .agg(F.countDistinct("_ksalt").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+    )
+    assert salted_cells == cap
+
+
+def test_krige_hot_cap_bitwise_invariant(spark):
+    """Capping which cells are salted / kept fine must not change a bit of
+    the kriged output (it only moves cells between the split/fine and
+    grouped treatments, both output-invariant)."""
+    from gstools_core_spark.operators.kriging import GaussianModel, krige
+
+    df, _, _ = _skewed_points(spark)
+    cond = df.where(F.col("id") % 3 == 0)
+    model = GaussianModel(var=1.0, len_scale=0.4, nugget=0.01)
+    kw = dict(
+        radius=1.0, method="ordinary", knn=8, group_cells="auto",
+        salt_hot=4, hot_threshold=300,
+    )
+    want = _collect_krige(
+        krige(df, cond, model, radius=1.0, method="ordinary", knn=8,
+              group_cells=1)
+    )
+    for cap in (0, 1, 4):  # disabled / tighter-than-hot-set / roomy
+        got = _collect_krige(krige(df, cond, model, hot_cap=cap, **kw))
+        assert got == want, f"hot_cap={cap}"
+
+
 def test_krige_salting_splits_hot_cell(spark):
     """One hot cell becomes S cogroup sub-keys (targets hashed across all S
     salts, cond ring replicated ×S); cold cells keep salt 0 unreplicated."""
