@@ -29,9 +29,11 @@ Design (honest Spark, no hidden driver loops over rows):
   ONE grouped aggregate scan and stale buckets are reprocessed (source
   changed under the checkpoint) — ``verify_input=False`` skips the check
   for completed buckets and trusts source immutability.  The fingerprints
-  are snapshotted before processing starts: a source mutated MID-RUN is
-  caught on the next resume (the marker's fingerprint no longer matches),
-  not during the run that raced with the writer.
+  are snapshotted before processing starts: a source mutated between the
+  fingerprint scan and the staging scan fails the run LOUDLY (the staging
+  write's row-count observation is cross-checked against the fingerprint
+  totals); a source mutated after staging is caught on the next
+  verify_input resume (the marker's fingerprint no longer matches).
 """
 
 from __future__ import annotations
@@ -131,7 +133,14 @@ class CheckpointedRun:
         processed = 0
         rows_written = 0
         spark = source.sparkSession
-        staging = self.out / "_staging"
+        # UNIQUE per-run staging dir: a fixed out/_staging would be shared
+        # mutable scratch — two concurrent runs (or a retry racing a zombie
+        # run) against the same out_dir would overwrite/delete each other's
+        # staged input mid-job; the finally-cleanup below only ever touches
+        # this run's own dir
+        import uuid
+
+        staging = self.out / f"_staging_{uuid.uuid4().hex}"
         if pending:
             if "_cp_bucket" in source.columns:
                 raise ValueError(
@@ -140,15 +149,38 @@ class CheckpointedRun:
                 )
             # ONE source scan stages every pending bucket's rows as a
             # partitioned parquet table; each bucket job below reads only
-            # its own partition directory (pruned), never the source again
+            # its own partition directory (pruned), never the source again.
+            # The Observation counts the staged rows IN the write job (no
+            # extra scan) so a source mutated between the fingerprint scan
+            # and this staging scan fails loudly instead of silently
+            # checkpointing a snapshot the markers don't describe — with
+            # verify_input=False on later resumes that drift would be
+            # permanent (e.g. fingerprints said 0, rows appeared after:
+            # empty bucket outputs forever).
+            from pyspark.sql import Observation
+
+            obs = Observation()
             (
                 source.withColumn("_cp_bucket", bucket)
                 .where(F.col("_cp_bucket").isin([int(b) for b in pending]))
+                .observe(obs, F.count(F.lit(1)).alias("n"))
                 .write.mode("overwrite")
                 .partitionBy("_cp_bucket")
                 .parquet(str(staging))
             )
-            if sum(fps[b]["input_rows"] for b in pending) == 0:
+            expected = sum(fps[b]["input_rows"] for b in pending)
+            staged_n = int(obs.get["n"])
+            if staged_n != expected:
+                import shutil
+
+                shutil.rmtree(staging, ignore_errors=True)
+                raise RuntimeError(
+                    f"checkpoint staging scan saw {staged_n} rows for the "
+                    f"pending buckets but their fingerprints (snapshotted "
+                    f"one scan earlier) total {expected} — the source is "
+                    "being mutated mid-run; rerun when it is quiescent"
+                )
+            if expected == 0:
                 # all pending buckets are empty: parquet wrote no data files
                 # and the read below would fail on schema inference.  This
                 # is decided from the FINGERPRINTS, never from a read

@@ -364,6 +364,38 @@ def test_checkpoint_empty_source(spark, tmp_path):
     assert stats2["buckets_processed"] == 0
 
 
+def test_checkpoint_mid_run_mutation_fails_loudly(spark, tmp_path):
+    """A source whose rows change between the fingerprint scan and the
+    staging scan must fail the run LOUDLY (the staging write's row-count
+    observation vs the fingerprint totals): silently checkpointing a
+    snapshot the markers don't describe becomes permanent drift under
+    verify_input=False resumes.  The mutation is simulated with a
+    nondeterministic filter UDF gated on a flag file the first scan
+    creates at its last row."""
+    flag = tmp_path / "mutated_flag"
+
+    @F.udf("boolean")
+    def first_scan_only(k):
+        if flag.exists():
+            return False
+        if k == 19:
+            flag.touch()
+        return True
+
+    src = (
+        spark.range(20)
+        .coalesce(1)  # sequential evaluation: the flag flips between scans,
+        # never mid-scan
+        .select(F.col("id").alias("k"))
+        .where(first_scan_only.asNondeterministic()(F.col("k")))
+    )
+    cp = CheckpointedRun(str(tmp_path / "out"), n_buckets=4)
+    with pytest.raises(RuntimeError, match="mutated mid-run"):
+        cp.run(src, lambda df: df, "k")
+    # the failure path removed its (per-run unique) staging scratch
+    assert not list((tmp_path / "out").glob("_staging*"))
+
+
 def test_checkpoint_fingerprint_catches_even_multiplicity_swap(spark, tmp_path):
     """XOR alone is blind to even-multiplicity changes (xx(K)^xx(K) = 0):
     a twice-delivered key K replaced by a twice-delivered K' in the same

@@ -30,3 +30,16 @@ def test_pipeline_demo_counts(spark, tmp_path):
     assert stats["n_cells"] > 1
     dirs = [p.name for p in (tmp_path / "out").iterdir() if p.is_dir()]
     assert any(d.startswith("cell_prefix=") for d in dirs)
+
+    # per-cell lineage metrics landed as JSON lines next to the layout:
+    # one row per cell, schema pinned, row counts reconciling exactly
+    metrics = spark.read.json(stats["cell_metrics_path"])
+    assert set(metrics.columns) == {
+        "cell_prefix", "n_rows", "value_mean", "value_min", "value_max"
+    }
+    assert metrics.count() == stats["n_cells"]
+    from pyspark.sql import functions as F
+
+    assert (
+        metrics.agg(F.sum("n_rows")).collect()[0][0] == stats["n_written"]
+    )

@@ -78,6 +78,14 @@ def run_pipeline(
     n_written = written.count()
     n_cells = written.select("cell_prefix").distinct().count()
 
+    # north-rule per-cell lineage/metrics for the LLM chain too (the
+    # geostat chain has emit_pair_metrics): row count + quality moments
+    # per index cell, JSON lines next to the data layout
+    from gstools_core_spark.operators.checkpoint import emit_cell_metrics
+
+    metrics_path = out_dir.rstrip("/") + "_cell_metrics"
+    emit_cell_metrics(written, "cell_prefix", metrics_path, value_col="quality")
+
     stats = {
         "n_pages": n_pages,
         "n_mirrors": n_corpus - n_pages,
@@ -87,6 +95,7 @@ def run_pipeline(
         "n_after_quality": n_kept,
         "n_written": n_written,
         "n_cells": n_cells,
+        "cell_metrics_path": metrics_path,
     }
     return stats
 
