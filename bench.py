@@ -78,32 +78,52 @@ def bench_variogram_directional(spark, sf_dir):
     )
 
 
+def _synthetic_points(spark, n: int):
+    """Hash-uniform point cloud in [-10, 10)² with a deterministic value —
+    the HEAVY kriging workload's input (distributed generation, ~no
+    coincident points; the parquet events table's LCG lattice would fold
+    200k ids onto 2,000 distinct positions)."""
+    df = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+    u = lambda k: F.pmod(F.xxhash64(F.col("id"), F.lit(k)), F.lit(200_000)) / 10_000.0 - 10.0  # noqa: E731
+    return df.select(
+        F.col("id"),
+        u(1).alias("x"),
+        u(2).alias("y"),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(1000)) / 500.0 - 1.0).alias("val"),
+    )
+
+
 def bench_krige(spark, sf_dir):
-    pts = _event_points(spark, sf_dir)
-    cond = pts.where(F.col("id") % (2 if HEAVY else 10) == 0)
     model = GaussianModel(var=1.0, len_scale=0.3, nugget=0.01)
-    # HEAVY max_cond=768: per-cell inv() is the dominant compute
-    # (~0.3 GFlop × 400 cells); at 512 the whole query was ~10 s at
-    # local[2] and fixed overhead blurred the scaling signal
+    if HEAVY:
+        # scaling-evidence sizing (round 5): 200k synthesized points, 50%
+        # conditioning, max_cond=1024 — every cell's 3×3 ring holds >1024
+        # cond points (≈2,250), so each of the 400 cells pays a full
+        # 1024-point bordered solve (~1.2 GFlop incl. the ~500-RHS
+        # back-substitution).  At the previous 768/100k sizing the ~3 s
+        # fixed term (plan/scan/codegen + cogroup spin-up) was ~21% of the
+        # local[2] runtime and capped measurable 2→8 efficiency at ~0.75
+        # even with a perfectly parallel kernel; this sizing puts the
+        # parallel part ≥ 10× the fixed term.  gc=2 → 100 super-groups
+        # (load balance; dispatch cost is noise at these solve sizes).
+        pts = _synthetic_points(spark, 200_000)
+        cond = pts.where(F.col("id") % 2 == 0)
+        return krige(
+            pts, cond, model, radius=BENCH_RADIUS, method="ordinary",
+            max_cond=1024, group_cells=2,
+        )
+    pts = _event_points(spark, sf_dir)
+    cond = pts.where(F.col("id") % 10 == 0)
     # group_cells from table stats (1,600 uniform cells of ~62 targets).
     # Default load: 8 → 25 super-groups — the per-group Arrow/pandas
     # dispatch is near-serial, so at sf0.1 group sizes the dispatch floor
     # dominates the 2-groups/core balance rule (measured one-JVM: gc=1
-    # 9.9 s, auto/5 4.4 s, 8 3.3 s).  HEAVY (scaling evidence, compute-
-    # dominated 768-point solves): 2 → 400 groups, ~12/core at local[32]
-    # — with heavy per-cell compute the dispatch saving is noise, so the
-    # factor serves load balance instead (one-JVM @32: gc=2 4.3-5.1 s,
-    # gc=4 4.9-5.1 s, gc=8 5.3-5.5 s).  Passing the int also skips
+    # 9.9 s, auto/5 4.4 s, 8 3.3 s).  Passing the int also skips
     # auto's stats pass — production sizes it from stored table stats
     # the same way.
     return krige(
-        pts,
-        cond,
-        model,
-        radius=BENCH_RADIUS,
-        method="ordinary",
-        max_cond=768 if HEAVY else 256,
-        group_cells=2 if HEAVY else 8,
+        pts, cond, model, radius=BENCH_RADIUS, method="ordinary",
+        max_cond=256, group_cells=8,
     )
 
 

@@ -384,7 +384,14 @@ def hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
 def hyperplane_sketch(
     df: DataFrame, vec_col: str, dim: int, n_bits: int = 16, seed: int = 19031977
 ) -> DataFrame:
-    """Append an n_bits sign sketch w.r.t. deterministic random hyperplanes."""
+    """Append an n_bits sign sketch w.r.t. deterministic random hyperplanes.
+
+    Expression path: per-bit sequential ``F.aggregate`` folds — this is
+    the ORACLE-parity implementation (DuckDB ``list_reduce`` replays the
+    identical left-to-right double additions, so the sketch — and hence
+    the bucket join — matches bitwise).  Higher-order lambdas are
+    INTERPRETED, so this path costs ~n_bits × dim interpreted ops per row;
+    use ``hyperplane_sketch_arrow`` on the bench/scale path."""
     planes = hyperplanes(dim, n_bits, seed)
     sk = None
     for b in range(n_bits):
@@ -403,6 +410,43 @@ def hyperplane_sketch(
     return df.withColumn("sketch", sk)
 
 
+def hyperplane_sketch_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_bits: int = 16,
+    seed: int = 19031977,
+) -> DataFrame:
+    """(id, sketch) via ONE numpy matmul per Arrow batch — the scale path
+    for LSH sketching (the expr path's interpreted per-bit folds measured
+    ~8 s per million vector-bits; this is one BLAS gemm).  Sign of each
+    dot is computed with a different float summation order than the expr
+    path (pairwise BLAS vs sequential fold), so a |dot| within ~1 ulp of
+    zero could flip a bit between the two implementations — harmless for
+    ANN quality, which is why the differential oracle keeps the expr
+    path (see queries.py lsh_ann)."""
+    import pyarrow as pa
+
+    planes = hyperplanes(dim, n_bits, seed).T.copy()  # (dim, n_bits)
+    weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            ids, X = _arrow_vec_matrix(tbl, id_col, vec_col)
+            bits = (X.astype(np.float64) @ planes) >= 0.0  # (n, n_bits)
+            sk = bits.astype(np.int64) @ weights
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(sk, pa.int64())],
+                names=[id_col, "sketch"],
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        gen, f"{id_col} long, sketch long"
+    )
+
+
 def lsh_ann(
     queries: DataFrame,
     base: DataFrame,
@@ -414,21 +458,36 @@ def lsh_ann(
     n_bits: int = 16,
     n_tables: int = 4,
     seed: int = 19031977,
+    impl: str = "expr",
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share a sketch bucket in ≥1 of
     ``n_tables`` hyperplane tables; exact cosine on candidates only.
     ``seed`` must match the caller's oracle-side plane generation
     (queries.LSH_SEED passes it explicitly — no duplicated magic
-    constant)."""
+    constant).  ``impl='expr'`` (default) computes sketches with
+    sequential-fold column expressions — bitwise DuckDB-replayable, the
+    oracle gate's path; ``impl='arrow'`` is the scale path (one numpy
+    matmul per Arrow batch, ~two orders of magnitude less sketch cost —
+    see hyperplane_sketch_arrow for the 1-ulp sign caveat)."""
+    if impl not in ("expr", "arrow"):
+        raise ValueError(impl)
     q_sk, b_sk = queries, base
     pairs = None
     for t in range(n_tables):
-        qs = hyperplane_sketch(q_sk, vec_col, dim, n_bits, seed=seed + t).select(
-            F.col(query_id).alias("qid"), F.col("sketch")
-        )
-        bs = hyperplane_sketch(b_sk, vec_col, dim, n_bits, seed=seed + t).select(
-            F.col(base_id).alias("bid"), F.col("sketch")
-        )
+        if impl == "arrow":
+            qs = hyperplane_sketch_arrow(
+                q_sk, query_id, vec_col, dim, n_bits, seed=seed + t
+            ).withColumnRenamed(query_id, "qid")
+            bs = hyperplane_sketch_arrow(
+                b_sk, base_id, vec_col, dim, n_bits, seed=seed + t
+            ).withColumnRenamed(base_id, "bid")
+        else:
+            qs = hyperplane_sketch(q_sk, vec_col, dim, n_bits, seed=seed + t).select(
+                F.col(query_id).alias("qid"), F.col("sketch")
+            )
+            bs = hyperplane_sketch(b_sk, vec_col, dim, n_bits, seed=seed + t).select(
+                F.col(base_id).alias("bid"), F.col("sketch")
+            )
         p = qs.join(bs, "sketch").select("qid", "bid")
         pairs = p if pairs is None else pairs.unionByName(p)
     cands = pairs.distinct().where(F.col("qid") != F.col("bid"))

@@ -194,6 +194,43 @@ def test_ivf_ann_partial_probe_recall(spark):
     assert recall >= 0.6, recall
 
 
+def test_lsh_sketch_arrow_matches_expr(spark):
+    """The Arrow matmul sketch path (scale) must produce the same sketches
+    and the same lsh_ann output as the expr fold path (oracle) — the only
+    permitted divergence is a |dot| within ~1 ulp of zero, which random
+    normal data never hits."""
+    rng = np.random.default_rng(17)
+    base_v = rng.normal(size=(300, 24))
+    base = _emb_df(spark, base_v)
+
+    expr_sk = {
+        r["vec_id"]: r["sketch"]
+        for r in SIM.hyperplane_sketch(base, "embedding", 24, 16, seed=5)
+        .select("vec_id", "sketch")
+        .collect()
+    }
+    arrow_sk = {
+        r["vec_id"]: r["sketch"]
+        for r in SIM.hyperplane_sketch_arrow(
+            base, "vec_id", "embedding", 24, 16, seed=5
+        ).collect()
+    }
+    assert arrow_sk == expr_sk
+
+    q = _emb_df(spark, base_v[:12], id0=0)
+    want = SIM.lsh_ann(
+        q, base, k=3, dim=24, query_id="vec_id", base_id="vec_id"
+    ).collect()
+    got = SIM.lsh_ann(
+        q, base, k=3, dim=24, query_id="vec_id", base_id="vec_id", impl="arrow"
+    ).collect()
+    assert sorted(
+        [(r["qid"], r["bid"], r["rank"]) for r in got], key=lambda t: (t[0], t[2])
+    ) == sorted(
+        [(r["qid"], r["bid"], r["rank"]) for r in want], key=lambda t: (t[0], t[2])
+    )
+
+
 def test_lsh_ann_finds_identical_vector(spark):
     rng = np.random.default_rng(4)
     base_v = rng.normal(size=(100, 16))

@@ -89,7 +89,8 @@ def main():
         f"Same job, same input ({sf_dir}, {n_rows} rows), three parallelism",
         f"levels, one query per fresh JVM, best of {REPS} runs (shared-VM",
         "noise), HEAVY workload sizes (variogram rmax=3.0 → ~1B candidate",
-        "pairs; ordinary kriging, 50% conditioning, max_cond=768) so compute",
+        "pairs; ordinary kriging over 200k synthesized points, 50%",
+        "conditioning, max_cond=1024 — round-5 re-size) so compute",
         "dominates the ~8 s fixed per-query overhead.  minhash_dedup and",
         "ann_topk are the LLM-pipeline representatives (shingle→signature→",
         "band-join→verify; broadcast-matmul cosine top-k).  krige_knn and",
@@ -131,7 +132,7 @@ def main():
         "planning/Python-worker pool) that strong scaling cannot touch:",
         "minhash_dedup runs over 500k synthesized independent-word pages,",
         "ann_topk over 200k synthesized vectors (~128 GMAC), krige at",
-        "max_cond=768.  Efficiency",
+        "max_cond=1024 over 200k points.  Efficiency",
         "below ~0.8 on the 2→8 pair for a query whose local[2] runtime is",
         "still under ~15 s is fixed-overhead dilution, not a plan defect —",
         "the per-stage work is embarrassingly cell/row-parallel.  Concretely",
@@ -141,7 +142,25 @@ def main():
         "real cluster the pool cost is paid once per executor, not per",
         "core-scaling step.",
     ]
-    (REPO / "BENCH.md").write_text("\n".join(lines) + "\n")
+    # replace ONLY the marked scaling region: BENCH.md also carries
+    # hand-written sections (regression attributions, decomposition
+    # footnotes, the ANN recall table) that a whole-file write_text would
+    # destroy (nearly happened in round 5)
+    mark_b, mark_e = "<!-- scaling:begin -->", "<!-- scaling:end -->"
+    block = mark_b + "\n" + "\n".join(lines) + "\n" + mark_e
+    bench_md = REPO / "BENCH.md"
+    if bench_md.exists() and mark_b in bench_md.read_text():
+        import re
+
+        text = re.sub(
+            re.escape(mark_b) + r".*?" + re.escape(mark_e),
+            block,
+            bench_md.read_text(),
+            flags=re.S,
+        )
+    else:
+        text = block + "\n"
+    bench_md.write_text(text)
     print("\n".join(lines))
 
 
