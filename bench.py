@@ -104,13 +104,17 @@ def bench_krige(spark, sf_dir):
         # fixed term (plan/scan/codegen + cogroup spin-up) was ~21% of the
         # local[2] runtime and capped measurable 2→8 efficiency at ~0.75
         # even with a perfectly parallel kernel; this sizing puts the
-        # parallel part ≥ 10× the fixed term.  gc=2 → 100 super-groups
-        # (load balance; dispatch cost is noise at these solve sizes).
+        # parallel part ≥ 10× the fixed term.  gc=1 (fine cells): 400
+        # uniform ~0.13 s groups hash into the 64 shuffle partitions with
+        # lower relative load variance than 100 gc=2 super-groups — the
+        # straggler tail is the binding constraint at 8 cores (measured
+        # one-JVM interleaved: gc=1 12.6/37.7 s vs gc=2 14.7/43.5 s at
+        # 8/2 cores), and dispatch cost is noise at these solve sizes.
         pts = _synthetic_points(spark, 200_000)
         cond = pts.where(F.col("id") % 2 == 0)
         return krige(
             pts, cond, model, radius=BENCH_RADIUS, method="ordinary",
-            max_cond=1024, group_cells=2,
+            max_cond=1024, group_cells=1,
         )
     pts = _event_points(spark, sf_dir)
     cond = pts.where(F.col("id") % 10 == 0)

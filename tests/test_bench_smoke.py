@@ -9,12 +9,12 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import QUERIES  # noqa: E402
+from bench import CALIB, QUERIES  # noqa: E402
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", sorted(QUERIES) + sorted(CALIB))
 def test_bench_query_runs(spark, sf_dir, name):
-    df = QUERIES[name](spark, sf_dir)
+    df = (QUERIES.get(name) or CALIB[name])(spark, sf_dir)
     # execute a bounded slice end-to-end (schema resolution + first tasks)
     rows = df.limit(5).collect()
     assert len(df.columns) > 0
