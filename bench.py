@@ -290,21 +290,26 @@ def bench_pages_geo_krige(spark, sf_dir):
         knn=16,
         haversine=True,
         max_abs_lat=61.0,
-        # production skew config: at sf0.1 no cell reaches the threshold
-        # (the detection agg on the checkpointed table costs ~0.1 s), but
-        # at 100× the en city-cells exceed it and split S ways instead of
-        # serializing the cogroup stage — the benched plan IS the scale plan
+        # production skew protection: at sf0.1 no cell reaches the
+        # threshold, so the plan-time hot-set detection (one tiny agg on
+        # the checkpointed table) finds it EMPTY and skips the salting
+        # machinery entirely (round-5 fix — the always-on explode/join
+        # form cost ~2.7 s here to salt zero cells); at 100× the en
+        # city-cells exceed it and split S ways instead of serializing
+        # the cogroup stage
         salt_hot=8,
-        # 'auto' = the production HYBRID: the 0.05°-cell counts here are
-        # lang-skewed (max ≫ mean), so a uniform factor would merge the
-        # hot-region cells into straggler tasks (measured one-JVM: gc=8
-        # 10.1 s vs gc=1 7.5 s) — auto instead keeps the skew-causing
-        # cells FINE and super-groups only the cold tail, which beat
-        # explicit gc=1 in 4/4 interleaved one-JVM pairs (23.5/28.3,
-        # 9.1/13.9, 24.2/25.9, 11.7/17.6 s) even paying its stats pass.
-        # At 100× the cold tail grows linearly while the hot set doesn't:
-        # the benched plan IS the scale plan.
-        group_cells="auto",
+        # explicit fine cells — the stats-known production choice at this
+        # density.  Quiet-window interleaved A/B (round 5): gc=1
+        # 5.9-7.0 s vs auto's hybrid 9.2-9.9 s — the hybrid's grouped
+        # cold tail merges MID-density cells (500-1000 targets) near the
+        # hot region into straggler super-groups, and its stats pass adds
+        # eager jobs.  Round 4's 4/4 auto-wins were measured in busy
+        # windows where per-group dispatch dominated; in quiet windows
+        # the kernel dominates and fine granularity packs the 64 shuffle
+        # partitions with less variance (the HEAVY-krige gc=1 finding).
+        # 'auto' stays the right no-stats default; jobs that know their
+        # density pass the int.
+        group_cells=1,
     )
 
 

@@ -165,14 +165,17 @@ def salt_cogroup_keys(
     return t, c, jkeys + ["_ksalt"]
 
 
-def _literal_cells(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def _literal_cells(df: DataFrame, cols: Sequence[str]) -> DataFrame | None:
     """Collect a BOUNDED (≤hot_cap-row) cell-key DataFrame into a literal
-    in-memory DataFrame.  The hot/keep-fine sets are lazy views over the
-    persisted stats DF; materializing them (cheap — the stats cache is
-    warm, the row count capped) lets krige unpersist the stats DF at
-    plan-construction time instead of leaving it cached until
-    cache.clear_tracked()."""
+    in-memory DataFrame; None when empty (lets callers skip the machinery
+    the set would drive).  The hot/keep-fine sets are lazy views over the
+    (possibly persisted) stats DF; materializing them (cheap — the row
+    count is capped) lets krige unpersist the stats DF at
+    plan-construction time and make plan-shape decisions from the actual
+    set."""
     rows = [tuple(r[c] for c in cols) for r in df.collect()]
+    if not rows:
+        return None
     schema = ", ".join(f"{c} long" for c in cols)
     return df.sparkSession.createDataFrame(rows, schema)
 
@@ -399,6 +402,11 @@ def krige(
     cond ring replicated — see salt_cogroup_keys); the kriged output is
     bitwise identical (pytest-pinned) because every target still sees its
     cell's full cond ring and all per-group orders are canonicalized.
+    The hot set is detected at PLAN time (one tiny aggregate, shared with
+    'auto'); when it is empty the salting machinery is skipped entirely —
+    the cond-ring explode + broadcast joins cost ~35% of the sphere bench
+    at sf0.1 purely to salt zero cells — so ``salt_hot`` is free until
+    the data actually has hot cells.
 
     ``hot_cap`` — bound on BOTH broadcast hot sets (salting's split set and
     auto-grouping's keep-fine set): only the top-``hot_cap`` cells by
@@ -503,9 +511,16 @@ def krige(
         mult = max(1, int(group_cells))
 
     hot_df = None
-    if salt_hot and persisted:
-        # build + collect the (≤cap-row) salting hot set NOW, while the
-        # stats DF is cached, so it need not outlive plan construction
+    if salt_hot:
+        # build + collect the (≤cap-row) salting hot set NOW (one tiny
+        # aggregate job — the broadcast side of the lazy form was its own
+        # stage anyway, so this moves cost, not adds it; under 'auto' the
+        # stats DF is already cached).  Knowing the hot set at plan time
+        # lets the EMPTY case skip the salting machinery entirely — the
+        # cond-ring explode/broadcast-join/_ksalt key otherwise cost
+        # ~2.7 s at sf0.1 on the sphere bench purely to salt zero cells.
+        # At 100× densities the set is non-empty and salting engages
+        # unchanged: the decision is data-driven, not scale-tuned.
         hot_src = cell_counts.where(F.col("_hot_n") > hot_threshold)
         if cap is not None:
             hot_src = hot_src.orderBy(F.col("_hot_n").desc(), *jkeys).limit(cap)
@@ -515,7 +530,7 @@ def krige(
     if persisted:
         cell_counts.unpersist(blocking=False)
 
-    if salt_hot:
+    if salt_hot and hot_df is not None:
         t, c, jkeys = salt_cogroup_keys(
             t, c, jkeys, "tid", salt_hot, hot_threshold,
             counts=cell_counts, hot_cap=cap, hot=hot_df,

@@ -280,6 +280,28 @@ def test_krige_hot_cap_bitwise_invariant(spark):
         assert got == want, f"hot_cap={cap}"
 
 
+def test_krige_salting_skipped_when_no_hot_cells(spark):
+    """Plan-time hot-set detection: when no cell clears hot_threshold the
+    salting machinery (cond-ring explode, broadcast joins, _ksalt key)
+    must not appear in the plan at all — it cost ~35% of the sphere bench
+    at sf0.1 to salt zero cells — and the output must equal the unsalted
+    run bitwise.  With a low threshold the machinery still engages."""
+    from gstools_core_spark.operators.kriging import GaussianModel, krige
+
+    df, _, _ = _skewed_points(spark)
+    cond = df.where(F.col("id") % 3 == 0)
+    model = GaussianModel(var=1.0, len_scale=0.4, nugget=0.01)
+    kw = dict(radius=1.0, method="ordinary", knn=8, group_cells=1)
+    plain = krige(df, cond, model, **kw)
+    skipped = krige(df, cond, model, salt_hot=8, hot_threshold=10_000, **kw)
+    engaged = krige(df, cond, model, salt_hot=8, hot_threshold=300, **kw)
+    assert "_ksalt" not in skipped._jdf.queryExecution().toString()
+    assert "_ksalt" in engaged._jdf.queryExecution().toString()
+    want = _collect_krige(plain)
+    assert _collect_krige(skipped) == want
+    assert _collect_krige(engaged) == want
+
+
 def test_krige_salting_splits_hot_cell(spark):
     """One hot cell becomes S cogroup sub-keys (targets hashed across all S
     salts, cond ring replicated ×S); cold cells keep salt 0 unreplicated."""
