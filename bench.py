@@ -290,13 +290,13 @@ def bench_pages_geo_krige(spark, sf_dir):
         knn=16,
         haversine=True,
         max_abs_lat=61.0,
-        # production skew protection: at sf0.1 no cell reaches the
-        # threshold, so the plan-time hot-set detection (one tiny agg on
-        # the checkpointed table) finds it EMPTY and skips the salting
-        # machinery entirely (round-5 fix — the always-on explode/join
-        # form cost ~2.7 s here to salt zero cells); at 100× the en
-        # city-cells exceed it and split S ways instead of serializing
-        # the cogroup stage
+        # production skew protection with the fair-share auto threshold
+        # (hot = cell count > total/shuffle_partitions): at sf0.1 this
+        # splits the lang-skewed 3,090-target city cell — the serial tail
+        # that bounded the whole stage (measured one-JVM: threshold 50k
+        # (nothing hot, machinery skipped) 10.1 s vs auto/1000 5.2 s);
+        # at 100× both the numerator and the partition count grow, so the
+        # rule keeps splitting exactly the straggler cells
         salt_hot=8,
         # explicit fine cells — the stats-known production choice at this
         # density.  Quiet-window interleaved A/B (round 5): gc=1

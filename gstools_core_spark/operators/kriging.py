@@ -345,7 +345,7 @@ def krige(
     haversine: bool = False,
     max_abs_lat: float | None = None,
     salt_hot: int | None = None,
-    hot_threshold: int = 50_000,
+    hot_threshold: int | str = "auto",
     group_cells: int | str = "auto",
     hot_cap: int | None = None,
 ) -> DataFrame:
@@ -407,6 +407,17 @@ def krige(
     the cond-ring explode + broadcast joins cost ~35% of the sphere bench
     at sf0.1 purely to salt zero cells — so ``salt_hot`` is free until
     the data actually has hot cells.
+
+    ``hot_threshold='auto'`` (default) sizes the threshold from the same
+    stats pass: a cell is hot when its target count exceeds one shuffle
+    partition's FAIR SHARE (``total targets / shuffle partitions``, floor
+    256) — any such cell is a straggler task no matter the cluster size,
+    since a pandas cogroup runs one task per key.  Measured on the
+    lang-skewed sphere bench (one 3,090-target cell over a 1,562 fair
+    share): splitting it halved the query (10.1 → 5.2 s) even paying the
+    salting machinery.  Pass an int when table stats say otherwise; the
+    rule scales with the data (at 100× both the numerator and the
+    production partition count grow).
 
     ``hot_cap`` — bound on BOTH broadcast hot sets (salting's split set and
     auto-grouping's keep-fine set): only the top-``hot_cap`` cells by
@@ -500,7 +511,10 @@ def krige(
     persisted = False
     if salt_hot or group_cells == "auto":
         cell_counts = cell_count_df(t, jkeys)
-        if group_cells == "auto":
+        # persist when ≥2 plan-time consumers will aggregate it (auto
+        # grouping's summary/keep-fine; the auto-threshold sum + hot-set
+        # collect) — each would otherwise re-scan the targets
+        if group_cells == "auto" or hot_threshold == "auto":
             cell_counts = cell_counts.persist()
             persisted = True
     if group_cells == "auto":
@@ -521,6 +535,13 @@ def krige(
         # ~2.7 s at sf0.1 on the sphere bench purely to salt zero cells.
         # At 100× densities the set is non-empty and salting engages
         # unchanged: the decision is data-driven, not scale-tuned.
+        if hot_threshold == "auto":
+            # fair-share rule (see docstring): hot = bigger than one
+            # shuffle partition's average target load
+            spark = targets.sparkSession
+            shp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            total = cell_counts.agg(F.sum("_hot_n")).collect()[0][0] or 0
+            hot_threshold = max(256, int(total / max(shp, par, 1)))
         hot_src = cell_counts.where(F.col("_hot_n") > hot_threshold)
         if cap is not None:
             hot_src = hot_src.orderBy(F.col("_hot_n").desc(), *jkeys).limit(cap)

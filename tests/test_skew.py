@@ -302,6 +302,24 @@ def test_krige_salting_skipped_when_no_hot_cells(spark):
     assert _collect_krige(engaged) == want
 
 
+def test_krige_hot_threshold_auto_fair_share(spark):
+    """hot_threshold='auto' (default): a cell above one shuffle
+    partition's fair share of targets is a straggler task by construction
+    (one cogroup task per key), so it must be salted — the 800-target
+    cell here clears the max(256, total/partitions) rule — and the
+    output must equal the unsalted run bitwise."""
+    from gstools_core_spark.operators.kriging import GaussianModel, krige
+
+    df, _, _ = _skewed_points(spark)
+    cond = df.where(F.col("id") % 3 == 0)
+    model = GaussianModel(var=1.0, len_scale=0.4, nugget=0.01)
+    kw = dict(radius=1.0, method="ordinary", knn=8, group_cells=1)
+    plain = krige(df, cond, model, **kw)
+    auto = krige(df, cond, model, salt_hot=4, **kw)  # hot_threshold='auto'
+    assert "_ksalt" in auto._jdf.queryExecution().toString()
+    assert _collect_krige(auto) == _collect_krige(plain)
+
+
 def test_krige_salting_splits_hot_cell(spark):
     """One hot cell becomes S cogroup sub-keys (targets hashed across all S
     salts, cond ring replicated ×S); cold cells keep salt 0 unreplicated."""
