@@ -80,6 +80,38 @@ def test_bmp_top_down_and_errors():
         codecs.decode_bmp(bytes(bad))
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    s=arrays(
+        np.int16,
+        st.integers(1, 400),
+        elements=st.integers(-32768, 32767),
+    ),
+    sr=st.integers(1, 192_000),
+)
+def test_wav_round_trip_property(s, sr):
+    got_sr, got = codecs.decode_wav(codecs.encode_wav(s, sr))
+    assert got_sr == sr
+    np.testing.assert_array_equal(got, s)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    px=arrays(
+        np.uint8,
+        st.tuples(st.integers(1, 12), st.integers(1, 12), st.just(3)),
+        elements=st.integers(0, 255),
+    )
+)
+def test_bmp_round_trip_property(px):
+    np.testing.assert_array_equal(codecs.decode_bmp(codecs.encode_bmp(px)), px)
+
+
 def test_extract_features_real_matches_numpy(spark):
     """mode='real' through Spark == the same decode+chunk-mean computed
     directly in numpy from the identical synthesized payloads."""
