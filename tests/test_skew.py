@@ -51,6 +51,19 @@ def test_pair_join_explicit_salting_exact(spark):
     assert " IN (" not in plan and "jsalt" in plan
 
 
+def test_pair_join_hot_cap_exact(spark):
+    """pair_join's hot_cap bounds WHICH cells get the salt treatment, not
+    the result: with cap=1 only the single biggest cell is salted and the
+    pair set is still exact."""
+    df, pos, _ = _skewed_points(spark)
+    pairs = pair_join(df, max_dist=1.0, salt_hot=8, hot_threshold=100, hot_cap=1)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.select("a_id", "b_id").collect()}
+    ii, jj = np.triu_indices(pos.shape[1], k=1)
+    d = np.sqrt(np.sum((pos[:, ii] - pos[:, jj]) ** 2, axis=0))
+    want = {(int(a), int(b)) for a, b in zip(ii[d < 1.0], jj[d < 1.0])}
+    assert got == want
+
+
 def test_variogram_on_skewed_cloud_matches_kernel(spark):
     df, pos, val = _skewed_points(spark)
     edges = [0.0, 0.25, 0.5, 0.75, 1.0]
