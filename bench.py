@@ -243,14 +243,18 @@ def bench_pages_krige_raster(spark, sf_dir):
     )
     cond = pts.where(F.pmod(F.col("id"), F.lit(10)) == 0)
     model = GaussianModel(var=1.0, len_scale=5.0, nugget=0.01)
-    # 273 occupied 5°-cells (table stats); gc=8 → ~8 super-groups was the
-    # measured floor (one-JVM: gc=1 4.4 s, 4 3.9 s, 8 3.2 s) — the
-    # geocoded density is region-clustered but no single cell dominates
-    # at this blocking radius, so grouping wins here (contrast the
-    # sphere-path query below)
+    # 273 occupied 5°-cells (table stats); round-5 interleaved A/B at 32
+    # cores: gc=2 (≈68 groups, ~2/core) 3.5-5.9 s vs the old gc=8
+    # (≈12 groups — 20 idle cores) 4.7-7.0 s vs gc=2+salt 5.5-9.4 s —
+    # moderate grouping sheds the per-group dispatch without starving
+    # cores, and salting does NOT pay here: the shared-neighborhood
+    # max_cond=256 solves are cheap, so splitting the 3.5k-target cells
+    # saves less than the cond-ring replication costs (contrast the
+    # knn sphere query below, where per-target solves make the big cell
+    # a real straggler)
     kriged = krige(
         pts, cond, model, radius=5.0, method="ordinary", max_cond=256,
-        group_cells=8,
+        group_cells=2,
     )
     return rasterize_tiles(kriged, cell_size=2.0, value_col="krige_mean", tile_cells=8)
 
