@@ -351,8 +351,11 @@ def calib_jvm_scan(spark, sf_dir):
     driver window ran every query 1.2-2.3× the builder's quiet window and
     the per-query numbers alone could not prove which regressions were
     host noise)."""
-    n = 12_000_000_000  # ~3 s at local[32] on a quiet host — long enough
-    # that the best-of-3 ratio between two windows is meaningful
+    # ~3 s at local[32] on a quiet host — long enough that the best-of-3
+    # ratio between two windows is meaningful.  Env override exists for the
+    # smoke test: limit(5) above a global agg bounds nothing, so the full
+    # scan would run there.
+    n = int(os.environ.get("SPARK_GRAFT_CALIB_ROWS", 12_000_000_000))
     return spark.range(0, n, 1, spark.sparkContext.defaultParallelism).select(
         F.sum((F.col("id") % 7) * 3 + 1).alias("s")
     )
@@ -487,10 +490,13 @@ def main():
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             return json.loads(line)["queries"][name]
 
-        # calibration FIRST: the fixed-cost probes stamp the window's speed
-        # before any query runs (so a mid-run host burst can't make the
-        # probes vouch for numbers they didn't share a window with)
-        calib = {name: _child(name) for name in CALIB}
+        # calibration FIRST on FULL runs: the fixed-cost probes stamp the
+        # window's speed before any query runs (so a mid-run host burst
+        # can't make the probes vouch for numbers they didn't share a
+        # window with); subset invocations are ad-hoc A/Bs that should not
+        # pay ~1 min of probe JVMs for a record that is never written
+        if not subset:
+            calib = {name: _child(name) for name in CALIB}
         times = {name: _child(name) for name in names}
 
     import duckdb

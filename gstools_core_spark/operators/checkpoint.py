@@ -141,59 +141,62 @@ class CheckpointedRun:
         import uuid
 
         staging = self.out / f"_staging_{uuid.uuid4().hex}"
-        if pending:
-            if "_cp_bucket" in source.columns:
-                raise ValueError(
-                    "source already has a _cp_bucket column — it would "
-                    "collide with the checkpoint staging partition column"
-                )
-            # ONE source scan stages every pending bucket's rows as a
-            # partitioned parquet table; each bucket job below reads only
-            # its own partition directory (pruned), never the source again.
-            # The Observation counts the staged rows IN the write job (no
-            # extra scan) so a source mutated between the fingerprint scan
-            # and this staging scan fails loudly instead of silently
-            # checkpointing a snapshot the markers don't describe — with
-            # verify_input=False on later resumes that drift would be
-            # permanent (e.g. fingerprints said 0, rows appeared after:
-            # empty bucket outputs forever).
-            from pyspark.sql import Observation
-
-            obs = Observation()
-            (
-                source.withColumn("_cp_bucket", bucket)
-                .where(F.col("_cp_bucket").isin([int(b) for b in pending]))
-                .observe(obs, F.count(F.lit(1)).alias("n"))
-                .write.mode("overwrite")
-                .partitionBy("_cp_bucket")
-                .parquet(str(staging))
+        if pending and "_cp_bucket" in source.columns:
+            raise ValueError(
+                "source already has a _cp_bucket column — it would "
+                "collide with the checkpoint staging partition column"
             )
-            expected = sum(fps[b]["input_rows"] for b in pending)
-            staged_n = int(obs.get["n"])
-            if staged_n != expected:
-                import shutil
-
-                shutil.rmtree(staging, ignore_errors=True)
-                raise RuntimeError(
-                    f"checkpoint staging scan saw {staged_n} rows for the "
-                    f"pending buckets but their fingerprints (snapshotted "
-                    f"one scan earlier) total {expected} — the source is "
-                    "being mutated mid-run; rerun when it is quiescent"
-                )
-            if expected == 0:
-                # all pending buckets are empty: parquet wrote no data files
-                # and the read below would fail on schema inference.  This
-                # is decided from the FINGERPRINTS, never from a read
-                # failure — a bare except here once turned any real read
-                # error into "empty input", writing empty bucket outputs
-                # under markers whose fingerprints still matched the source
-                # (permanent silent data loss on every later resume).
-                staged = source.withColumn(
-                    "_cp_bucket", bucket.cast("int")
-                ).where(F.lit(False))
-            else:
-                staged = spark.read.parquet(str(staging))
+        # the try covers the STAGING WRITE too: a write that fails mid-job
+        # (disk full, executor loss, Ctrl-C) must not orphan a partial
+        # '_staging_<uuid>' copy of the source — unlike the old fixed name,
+        # nothing would ever overwrite it
         try:
+            if pending:
+                # ONE source scan stages every pending bucket's rows as a
+                # partitioned parquet table; each bucket job below reads
+                # only its own partition directory (pruned), never the
+                # source again.  The Observation counts the staged rows IN
+                # the write job (no extra scan) so a source mutated between
+                # the fingerprint scan and this staging scan fails loudly
+                # instead of silently checkpointing a snapshot the markers
+                # don't describe — with verify_input=False on later resumes
+                # that drift would be permanent (e.g. fingerprints said 0,
+                # rows appeared after: empty bucket outputs forever).
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                (
+                    source.withColumn("_cp_bucket", bucket)
+                    .where(F.col("_cp_bucket").isin([int(b) for b in pending]))
+                    .observe(obs, F.count(F.lit(1)).alias("n"))
+                    .write.mode("overwrite")
+                    .partitionBy("_cp_bucket")
+                    .parquet(str(staging))
+                )
+                expected = sum(fps[b]["input_rows"] for b in pending)
+                staged_n = int(obs.get["n"])
+                if staged_n != expected:
+                    raise RuntimeError(
+                        f"checkpoint staging scan saw {staged_n} rows for "
+                        f"the pending buckets but their fingerprints "
+                        f"(snapshotted one scan earlier) total {expected} — "
+                        "the source is being mutated mid-run; rerun when it "
+                        "is quiescent"
+                    )
+                if expected == 0:
+                    # all pending buckets are empty: parquet wrote no data
+                    # files and the read below would fail on schema
+                    # inference.  This is decided from the FINGERPRINTS,
+                    # never from a read failure — a bare except here once
+                    # turned any real read error into "empty input", writing
+                    # empty bucket outputs under markers whose fingerprints
+                    # still matched the source (permanent silent data loss
+                    # on every later resume).
+                    staged = source.withColumn(
+                        "_cp_bucket", bucket.cast("int")
+                    ).where(F.lit(False))
+                else:
+                    staged = spark.read.parquet(str(staging))
             for b in pending:
                 fp = fps.get(b)
                 if fail_after is not None and processed >= fail_after:

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gstools_core_spark import kernels as K
+from gstools_core_spark.operators.pair_join import top_hot_cells
 from gstools_core_spark.functions.models import (  # noqa: F401 — re-exported API
     CovModel,
     Exponential,
@@ -133,10 +134,9 @@ def salt_cogroup_keys(
     else:
         if counts is None:
             counts = cell_count_df(t, jkeys)
-        hot = counts.where(F.col("_hot_n") > hot_threshold)
-        if hot_cap is not None:
-            hot = hot.orderBy(F.col("_hot_n").desc(), *jkeys).limit(hot_cap)
-        hot = hot.select(*jkeys, F.lit(True).alias("_hot"))
+        hot = top_hot_cells(counts, jkeys, hot_threshold, hot_cap).select(
+            *jkeys, F.lit(True).alias("_hot")
+        )
     t = (
         t.join(F.broadcast(hot), jkeys, "left")
         .withColumn(
@@ -293,14 +293,11 @@ def auto_group_plan(
         return rule(n_cells), None
     # skewed: one more TINY aggregate over the (persisted) counts — how
     # many cells are hot — plus the keep-fine set itself
-    hot_cells = counts.where(F.col("_hot_n") > F.lit(thresh))
-    n_hot = hot_cells.count()
-    if keep_cap is not None:
-        hot_cells = hot_cells.orderBy(
-            F.col("_hot_n").desc(), *fine_keys
-        ).limit(keep_cap)
+    n_hot = counts.where(F.col("_hot_n") > F.lit(thresh)).count()
+    keep_fine = top_hot_cells(
+        counts, list(fine_keys), thresh, keep_cap
+    ).select(*fine_keys)
     kept = n_hot if keep_cap is None else min(n_hot, keep_cap)
-    keep_fine = hot_cells.select(*fine_keys)
     return rule(max(n_cells - kept, 1)), keep_fine
 
 
@@ -542,19 +539,20 @@ def krige(
             shp = int(spark.conf.get("spark.sql.shuffle.partitions"))
             total = cell_counts.agg(F.sum("_hot_n")).collect()[0][0] or 0
             hot_threshold = max(256, int(total / max(shp, par, 1)))
-        hot_src = cell_counts.where(F.col("_hot_n") > hot_threshold)
-        if cap is not None:
-            hot_src = hot_src.orderBy(F.col("_hot_n").desc(), *jkeys).limit(cap)
-        hot_df = _literal_cells(hot_src.select(*jkeys), jkeys)
+        hot_df = _literal_cells(
+            top_hot_cells(cell_counts, jkeys, hot_threshold, cap).select(*jkeys),
+            jkeys,
+        )
     if persisted and keep_fine is not None:
         keep_fine = _literal_cells(keep_fine, jkeys)
     if persisted:
         cell_counts.unpersist(blocking=False)
 
     if salt_hot and hot_df is not None:
+        # hot= short-circuits detection entirely: counts/hot_cap would be
+        # dead arguments here (and cell_counts is already unpersisted)
         t, c, jkeys = salt_cogroup_keys(
-            t, c, jkeys, "tid", salt_hot, hot_threshold,
-            counts=cell_counts, hot_cap=cap, hot=hot_df,
+            t, c, jkeys, "tid", salt_hot, hot_threshold, hot=hot_df
         )
 
     nugget = model.nugget

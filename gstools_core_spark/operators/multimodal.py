@@ -63,7 +63,10 @@ def _decode_real(pdf: pd.DataFrame, dim: int) -> pd.DataFrame:
     feats = []
     for payload in pdf["payload"]:
         b = bytes(payload)
-        if b[:4] == b"RIFF":
+        # RIFF is a container family: only the WAVE form is decodable here
+        # (WEBP/AVI are RIFF too but compressed — they must fall through to
+        # the NotImplementedError, not decode_wav's ValueError)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             _, samples = codecs.decode_wav(b)
             x = np.abs(samples.astype(np.float64)).ravel() / 32768.0
         elif b[:2] == b"BM":

@@ -108,6 +108,23 @@ def geo_cell_exprs(
     return cells
 
 
+def top_hot_cells(
+    counts: DataFrame,
+    keys: Sequence[str],
+    threshold: float,
+    cap: int | None,
+) -> DataFrame:
+    """Cells whose ``_hot_n`` count exceeds ``threshold``, bounded at the
+    top-``cap`` by count with a DETERMINISTIC tie-break on the cell keys —
+    the ONE recipe behind every hot-set selection (pair_join salting,
+    kriging salting, auto grouping's keep-fine).  Any change to the
+    tie-break or cap semantics happens here and nowhere else."""
+    hot = counts.where(F.col("_hot_n") > threshold)
+    if cap is not None:
+        hot = hot.orderBy(F.col("_hot_n").desc(), *keys).limit(cap)
+    return hot
+
+
 def pair_join(
     points: DataFrame,
     max_dist: float,
@@ -208,20 +225,16 @@ def pair_join(
         # broadcast onto both sides — no driver collect, no isin literal
         # list.  kriging.salt_cogroup_keys carries the cogroup sibling of
         # this recipe — semantic fixes here must be mirrored there.
-        hot = (
-            pts.groupBy(*cell_names)
-            .agg(F.count(F.lit(1)).alias("_hot_n"))
-            .where(F.col("_hot_n") > hot_threshold)
+        # hot_cap bounds the broadcast: only the top-hot_cap cells by count
+        # get salted — on a heavy-tailed density the above-threshold set is
+        # unbounded while the cells that matter are the few biggest;
+        # unsalted hot-tail cells are still split by AQE skew-join
+        hot = top_hot_cells(
+            pts.groupBy(*cell_names).agg(F.count(F.lit(1)).alias("_hot_n")),
+            cell_names,
+            hot_threshold,
+            hot_cap,
         )
-        if hot_cap is not None:
-            # bound the broadcast: only the top-hot_cap cells by count get
-            # salted (deterministic tie-break on the cell ids) — on a
-            # heavy-tailed density the above-threshold set is unbounded
-            # while the cells that matter are the few biggest; unsalted
-            # hot-tail cells are still split by AQE skew-join
-            hot = hot.orderBy(
-                F.col("_hot_n").desc(), *cell_names
-            ).limit(hot_cap)
         hot = hot.select(
             *[F.col(cell_names[k]).alias(jkeys[k]) for k in range(d)],
             F.lit(True).alias("_hot"),

@@ -152,3 +152,12 @@ def test_extract_features_real_compressed_still_raises(spark):
     media = synthesize_media(spark, 6)  # payloads are neither RIFF nor BM
     with pytest.raises(Exception, match="NotImplementedError|compressed"):
         extract_features(media, 8, "real").collect()
+
+    # RIFF is a container FAMILY: a WEBP payload (RIFF....WEBP) must take
+    # the compressed-codec NotImplementedError path, not choke decode_wav
+    webp = spark.createDataFrame(
+        [(0, "image", b"RIFF" + (20).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 16)],
+        "media_id long, kind string, payload binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|compressed"):
+        extract_features(webp, 8, "real").collect()

@@ -146,16 +146,24 @@ def main() -> dict:
     lines += ["", END]
     block = "\n".join(lines)
 
-    bench_md = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md")
-    text = open(bench_md).read()
-    if BEGIN in text:
-        text = re.sub(
-            re.escape(BEGIN) + r".*?" + re.escape(END), block, text, flags=re.S
+    if n >= 200_000:
+        bench_md = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md"
         )
+        text = open(bench_md).read()
+        if BEGIN in text:
+            text = re.sub(
+                re.escape(BEGIN) + r".*?" + re.escape(END), block, text, flags=re.S
+            )
+        else:
+            text = text.rstrip() + "\n\n" + block + "\n"
+        with open(bench_md, "w") as f:
+            f.write(text)
     else:
-        text = text.rstrip() + "\n\n" + block + "\n"
-    with open(bench_md, "w") as f:
-        f.write(text)
+        # quick SPARK_GRAFT_ANN_N runs must NOT silently replace the
+        # committed 200k-vector table (the BENCH_QUERIES.json clobber
+        # lesson); print the block instead
+        print(block, file=sys.stderr)
 
     result = {"n": n, "k": k, "rows": [(r[0], round(r[1], 4)) for r in rows]}
     print(json.dumps(result))

@@ -71,7 +71,7 @@ def _worker(q, mode: str):
     q.put(time.time() - t0)
 
 
-def run(p: int, mode: str) -> float:
+def run(p: int, mode: str) -> tuple[float, list[float]]:
     q = mp.Queue()
     procs = [mp.Process(target=_worker, args=(q, mode)) for _ in range(p)]
     t0 = time.time()

@@ -158,6 +158,11 @@ def main():
             bench_md.read_text(),
             flags=re.S,
         )
+    elif bench_md.exists():
+        # markers missing (edited away / merge damage): APPEND — replacing
+        # the whole file here would destroy the hand-written attribution
+        # and recall sections the markers exist to protect
+        text = bench_md.read_text().rstrip() + "\n\n" + block + "\n"
     else:
         text = block + "\n"
     bench_md.write_text(text)
