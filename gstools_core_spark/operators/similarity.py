@@ -307,21 +307,37 @@ def ivf_ann(
     relational, used by the differential-oracle gate; training quality is
     pinned by recall tests instead.
     """
-    spark = queries.sparkSession
     b = base.select(F.col(base_id).alias("bid"), F.col(vec_col).alias("v")).persist()
+    n_clusters, centroids = _ivf_train(b, n_clusters, iters, assign)
 
+    lists = _assign_clusters(b, "bid", "v", centroids, 1, assign).join(b, "bid")
+    probes = _assign_clusters(
+        queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("v")),
+        "qid", "v", centroids, n_probe, assign,
+    )
+    # training reuse is over: drop the cache, the remaining lazy plan
+    # re-reads the base from source when the caller finally acts
+    b.unpersist(blocking=False)
+    return _ivf_score(
+        probes, lists.select("cluster", "bid", "v"), queries, k, query_id, vec_col
+    )
+
+
+def _ivf_train(
+    b: DataFrame, n_clusters: int | None, iters: int, assign: str
+) -> tuple[int, np.ndarray]:
+    """Spherical k-means coarse quantizer over (bid, v) → (n_clusters,
+    centroid matrix).  Deterministic init from the n_clusters smallest
+    base ids: orderBy+limit compiles to TakeOrderedAndProject — a
+    per-partition bounded top-K heap merged at the driver (O(N) scan,
+    n_clusters-sized state), NOT a global sort; safe at 10^9 vectors
+    (plan pinned by tests/test_plans.py::test_ivf_init_no_global_sort).
+    Lloyd updates via a per-cluster applyInPandas mean (ONE
+    n_clusters-row collect per iteration)."""
     if n_clusters is None:
         n = b.count()
         n_clusters = max(1, min(int(math.isqrt(max(n, 1))), 4096))
-
-    # deterministic init: the n_clusters smallest base ids.  orderBy+limit
-    # compiles to TakeOrderedAndProject — a per-partition bounded top-K
-    # heap merged at the driver (O(N) scan, n_clusters-sized state), NOT a
-    # global sort; safe at 10^9 vectors (plan pinned by
-    # tests/test_plans.py::test_ivf_init_no_global_sort)
-    init = (
-        b.orderBy("bid").limit(n_clusters).toPandas()
-    )
+    init = b.orderBy("bid").limit(n_clusters).toPandas()
     centroids = np.stack(init["v"].to_numpy()).astype(np.float64)
 
     def _mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -343,15 +359,19 @@ def ivf_ann(
         for r in comp:
             new_c[r["cluster"]] = np.asarray(r["m"], dtype=np.float64)
         centroids = new_c
+    return n_clusters, centroids
 
-    lists = _assign_clusters(b, "bid", "v", centroids, 1, assign).join(b, "bid")
-    probes = _assign_clusters(
-        queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("v")),
-        "qid", "v", centroids, n_probe, assign,
-    )
-    # training reuse is over: drop the cache, the remaining lazy plan
-    # re-reads the base from source when the caller finally acts
-    b.unpersist(blocking=False)
+
+def _ivf_score(
+    probes: DataFrame,
+    lists: DataFrame,
+    queries: DataFrame,
+    k: int,
+    query_id: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact cosine rerank inside the probed inverted lists → per-query
+    top-k (the shared tail of ivf_ann and ivf_ann_from_index)."""
     qv = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("q_v"))
     dot = F.aggregate(
         F.zip_with(F.col("q_v"), F.col("v"), lambda a, bb: a.cast("double") * bb.cast("double")),
@@ -359,7 +379,7 @@ def ivf_ann(
         lambda acc, t: acc + t,
     )
     scored = (
-        probes.join(lists.select("cluster", "bid", "v"), "cluster")
+        probes.join(lists, "cluster")
         .join(qv, "qid")
         .where(F.col("qid") != F.col("bid"))
         .withColumn("cos_sim", dot / (_norm_col(F.col("q_v")) * _norm_col(F.col("v"))))
@@ -372,6 +392,88 @@ def ivf_ann(
         .where(F.col("rank") <= k)
         .select("qid", "bid", "cos_sim", "rank")
     )
+
+
+def ivf_index_write(
+    base: DataFrame,
+    path: str,
+    base_id: str = "bid",
+    vec_col: str = "embedding",
+    n_clusters: int | None = None,
+    iters: int = 3,
+    assign: str = "auto",
+) -> dict:
+    """Build the IVF index ONCE and persist it — the production shape for
+    repeated ANN querying (ivf_ann retrains the quantizer on every call):
+
+    * ``<path>/centroids`` — the (n_clusters × dim) quantizer, one tiny
+      parquet;
+    * ``<path>/lists`` — the inverted lists, ``partitionBy("cluster")``:
+      a query batch's probed clusters read ONLY their partition
+      directories, so at 10^9 vectors the non-probed lists never leave
+      storage (ivf_ann_from_index prunes them statically).
+
+    Returns {"n_clusters", "n_vectors"}.
+    """
+    spark = base.sparkSession
+    b = base.select(F.col(base_id).alias("bid"), F.col(vec_col).alias("v")).persist()
+    n_vectors = b.count()
+    n_clusters, centroids = _ivf_train(b, n_clusters, iters, assign)
+    lists = _assign_clusters(b, "bid", "v", centroids, 1, assign).join(b, "bid")
+    (
+        lists.select("cluster", "bid", "v")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/lists")
+    )
+    cent_df = spark.createDataFrame(
+        [(i, centroids[i].tolist()) for i in range(n_clusters)],
+        "cluster long, centroid array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    b.unpersist(blocking=False)
+    return {"n_clusters": n_clusters, "n_vectors": n_vectors}
+
+
+def ivf_ann_from_index(
+    queries: DataFrame,
+    path: str,
+    k: int,
+    query_id: str = "qid",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    assign: str = "auto",
+) -> DataFrame:
+    """Approximate cosine top-k against a PERSISTED ivf_index_write index:
+    load the (tiny) quantizer, assign each query its ``n_probe`` nearest
+    centroids, then rerank exactly inside only the probed inverted-list
+    partitions — the probed cluster set is collected (bounded by
+    queries × n_probe) and pushed as a static partition filter, so the
+    scan prunes to those directories (``PartitionFilters`` in the plan).
+    Results match ivf_ann called with the same quantizer parameters
+    (pytest-pinned with the deterministic iters=0 quantizer)."""
+    spark = queries.sparkSession
+    cents = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    )
+    centroids = np.stack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in cents]
+    )
+    probes = _assign_clusters(
+        queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("v")),
+        "qid", "v", centroids, n_probe, assign,
+    ).persist()
+    probed = sorted(
+        r["cluster"] for r in probes.select("cluster").distinct().collect()
+    )
+    lists = spark.read.parquet(f"{path}/lists").where(
+        F.col("cluster").isin([int(c) for c in probed])
+    )
+    out = _ivf_score(probes, lists, queries, k, query_id, vec_col)
+    from gstools_core_spark.operators.cache import track
+
+    track(probes)  # released via cache.clear_tracked() between jobs
+    return out
 
 
 def hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:

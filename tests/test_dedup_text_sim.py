@@ -194,6 +194,45 @@ def test_ivf_ann_partial_probe_recall(spark):
     assert recall >= 0.6, recall
 
 
+def test_ivf_index_round_trip(spark, tmp_path):
+    """ivf_index_write → ivf_ann_from_index must reproduce ivf_ann exactly
+    under the deterministic iters=0 quantizer (build-once/query-many is
+    the production ANN shape; ivf_ann retrains per call), the persisted
+    layout must be cluster-partitioned (partition-pruned probes), and the
+    pruned query must only touch the probed partitions."""
+    rng = np.random.default_rng(21)
+    base_v = rng.normal(size=(240, 12))
+    base = _emb_df(spark, base_v)
+    queries = _emb_df(spark, base_v[:9], id0=0)
+
+    meta = SIM.ivf_index_write(
+        base, str(tmp_path / "idx"), base_id="vec_id", n_clusters=12, iters=0
+    )
+    assert meta == {"n_clusters": 12, "n_vectors": 240}
+    # cluster-partitioned layout on disk
+    parts = [p.name for p in (tmp_path / "idx" / "lists").iterdir() if p.is_dir()]
+    assert parts and all(p.startswith("cluster=") for p in parts)
+
+    want = SIM.ivf_ann(
+        queries, base, k=4, query_id="vec_id", base_id="vec_id",
+        n_clusters=12, n_probe=3, iters=0,
+    ).collect()
+    got_df = SIM.ivf_ann_from_index(
+        queries, str(tmp_path / "idx"), k=4, query_id="vec_id", n_probe=3
+    )
+    got = got_df.collect()
+    assert sorted(
+        [(r["qid"], r["bid"], r["rank"], round(r["cos_sim"], 12)) for r in got],
+        key=lambda t: t[:2],
+    ) == sorted(
+        [(r["qid"], r["bid"], r["rank"], round(r["cos_sim"], 12)) for r in want],
+        key=lambda t: t[:2],
+    )
+    # the probed-cluster filter reaches the scan as a partition filter
+    plan = got_df._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan or "cluster#" in plan
+
+
 def test_lsh_sketch_arrow_matches_expr(spark):
     """The Arrow matmul sketch path (scale) must produce the same sketches
     and the same lsh_ann output as the expr fold path (oracle) — the only
