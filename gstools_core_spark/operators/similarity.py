@@ -339,6 +339,10 @@ def _ivf_train(
         n_clusters = max(1, min(int(math.isqrt(max(n, 1))), 4096))
     init = b.orderBy("bid").limit(n_clusters).toPandas()
     centroids = np.stack(init["v"].to_numpy()).astype(np.float64)
+    # A request larger than the base row count yields fewer init rows;
+    # report the ACTUAL cluster count so callers that enumerate
+    # centroids (ivf_index_write) never index past the matrix.
+    n_clusters = int(centroids.shape[0])
 
     def _mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
         M = np.stack(pdf["v"].to_numpy()).astype(np.float64)

@@ -1,5 +1,7 @@
 """Dedup, text-analysis, and similarity operators on constructed cases."""
 
+import re
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -228,9 +230,33 @@ def test_ivf_index_round_trip(spark, tmp_path):
         [(r["qid"], r["bid"], r["rank"], round(r["cos_sim"], 12)) for r in want],
         key=lambda t: t[:2],
     )
-    # the probed-cluster filter reaches the scan as a partition filter
-    plan = got_df._jdf.queryExecution().toString()
-    assert "PartitionFilters" in plan or "cluster#" in plan
+    # the probed-cluster filter reaches the scan as a NON-EMPTY partition
+    # filter (a bare "cluster#" substring would match any plan that merely
+    # references the column — pin the pruning itself, not the reference)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cluster", plan), plan
+
+
+def test_ivf_index_write_more_clusters_than_rows(spark, tmp_path):
+    """Requesting n_clusters > N must clamp to the actual row count (the
+    init limit() yields only N rows) — previously ivf_index_write raised
+    IndexError enumerating a 12-row centroid matrix that had 8 rows, and
+    the persisted meta overstated n_clusters."""
+    rng = np.random.default_rng(33)
+    base_v = rng.normal(size=(8, 6))
+    base = _emb_df(spark, base_v)
+    meta = SIM.ivf_index_write(
+        base, str(tmp_path / "idx8"), base_id="vec_id", n_clusters=12, iters=0
+    )
+    assert meta == {"n_clusters": 8, "n_vectors": 8}
+    queries = _emb_df(spark, base_v[:3], id0=0)
+    got = SIM.ivf_ann_from_index(
+        queries, str(tmp_path / "idx8"), k=2, query_id="vec_id", n_probe=8
+    )
+    exact = SIM.cosine_topk_sql(queries, base, k=2, query_id="vec_id", base_id="vec_id")
+    assert {(r["qid"], r["bid"], r["rank"]) for r in got.collect()} == {
+        (r["qid"], r["bid"], r["rank"]) for r in exact.collect()
+    }
 
 
 def test_lsh_sketch_arrow_matches_expr(spark):

@@ -150,13 +150,14 @@ def main() -> dict:
         bench_md = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md"
         )
-        text = open(bench_md).read()
-        if BEGIN in text:
-            text = re.sub(
-                re.escape(BEGIN) + r".*?" + re.escape(END), block, text, flags=re.S
-            )
-        else:
-            text = text.rstrip() + "\n\n" + block + "\n"
+        old = open(bench_md).read()
+        # subn, not "BEGIN in text": a surviving BEGIN with a damaged END
+        # matches nothing and would silently drop the run — append instead
+        text, n_sub = re.subn(
+            re.escape(BEGIN) + r".*?" + re.escape(END), block, old, flags=re.S
+        )
+        if not n_sub:
+            text = old.rstrip() + "\n\n" + block + "\n"
         with open(bench_md, "w") as f:
             f.write(text)
     else:

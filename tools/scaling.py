@@ -149,20 +149,23 @@ def main():
     mark_b, mark_e = "<!-- scaling:begin -->", "<!-- scaling:end -->"
     block = mark_b + "\n" + "\n".join(lines) + "\n" + mark_e
     bench_md = REPO / "BENCH.md"
-    if bench_md.exists() and mark_b in bench_md.read_text():
+    if bench_md.exists():
         import re
 
-        text = re.sub(
+        old = bench_md.read_text()
+        # subn, not "mark_b in text": if the END marker was edited away the
+        # pattern matches nothing and the run's results would be silently
+        # dropped — fall back to APPEND whenever no replacement happened
+        # (replacing the whole file would destroy the hand-written
+        # attribution and recall sections the markers exist to protect)
+        text, n_sub = re.subn(
             re.escape(mark_b) + r".*?" + re.escape(mark_e),
             block,
-            bench_md.read_text(),
+            old,
             flags=re.S,
         )
-    elif bench_md.exists():
-        # markers missing (edited away / merge damage): APPEND — replacing
-        # the whole file here would destroy the hand-written attribution
-        # and recall sections the markers exist to protect
-        text = bench_md.read_text().rstrip() + "\n\n" + block + "\n"
+        if not n_sub:
+            text = old.rstrip() + "\n\n" + block + "\n"
     else:
         text = block + "\n"
     bench_md.write_text(text)
