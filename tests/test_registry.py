@@ -102,3 +102,21 @@ def test_entrypoint_exposes_registry():
     o = mod.oracle_sql()
     assert list(q) == EXPECTED
     assert set(o) == set(EXPECTED) - NO_ORACLE
+
+
+def test_entrypoint_entry_executes(spark):
+    """The driver smoke-checks entry(spark) runs and yields ≥0 rows with a
+    stable schema; pin that execution here so a registry edit can't break
+    the flagship query without failing the suite."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("spark_entry_exec", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.schema.simpleString() == (
+        "struct<bin_id:bigint,lo:double,hi:double,gamma:double,counts:bigint>"
+    )
+    assert len(df.collect()) == 8
