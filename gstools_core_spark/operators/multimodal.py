@@ -5,11 +5,11 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages.  ``mode='fake'`` produces a deterministic feature
 vector from the raw bytes (real Spark plumbing — schema, batching,
 partitioning — with a fake kernel; fully Arrow-vectorized and
-oracle-checked).  ``mode='real'`` decodes the two uncompressed containers
-pure numpy can handle without codec libraries — WAV PCM16 and BMP24 (see
-functions/codecs.py) — and raises NotImplementedError only for compressed
-codecs (JPEG/MP3/H.264), which genuinely need libraries this environment
-lacks.
+oracle-checked).  ``mode='real'`` decodes the three containers stdlib +
+numpy can handle without codec libraries — WAV PCM16, BMP24, and PNG
+(a real DEFLATE-compressed codec via stdlib zlib; see
+functions/codecs.py) — and raises NotImplementedError only for codecs
+(JPEG/MP3/H.264) that genuinely need libraries this environment lacks.
 """
 
 from __future__ import annotations
@@ -49,15 +49,15 @@ def synthesize_media(spark: SparkSession, n: int) -> DataFrame:
 
 
 def _decode_real(pdf: pd.DataFrame, dim: int) -> pd.DataFrame:
-    """mode='real' kernel: ACTUAL byte→samples/pixels decode for the two
-    uncompressed containers a codec-library-free environment can handle —
-    WAV PCM16 (RIFF magic) and BMP24 ('BM' magic) via
+    """mode='real' kernel: ACTUAL byte→samples/pixels decode for the three
+    containers a codec-library-free environment can handle — WAV PCM16
+    (RIFF magic), BMP24 ('BM' magic), and PNG (DEFLATE-compressed
+    scanlines + predictive filters, via stdlib zlib) through
     functions/codecs.py — then the same dim-chunk zero-padded means as the
     fake kernel, over |samples|/32768 resp. pixels/255.  The container
     parse is per-payload by nature (a PIL/libsndfile decode would be too);
-    everything after the parse is vectorized.  Compressed codecs
-    (JPEG/MP3/H.264) still raise NotImplementedError — that decode needs
-    external libraries this environment lacks."""
+    everything after the parse is vectorized.  Codecs needing external
+    libraries (JPEG/MP3/H.264) still raise NotImplementedError."""
     from gstools_core_spark.functions import codecs
 
     feats = []
@@ -71,11 +71,13 @@ def _decode_real(pdf: pd.DataFrame, dim: int) -> pd.DataFrame:
             x = np.abs(samples.astype(np.float64)).ravel() / 32768.0
         elif b[:2] == b"BM":
             x = codecs.decode_bmp(b).astype(np.float64).ravel() / 255.0
+        elif b[:8] == b"\x89PNG\r\n\x1a\n":
+            x = codecs.decode_png(b).astype(np.float64).ravel() / 255.0
         else:
             raise NotImplementedError(
-                "mode='real' decodes uncompressed WAV PCM16 / BMP24 "
-                "containers; compressed codecs (JPEG/MP3/H.264) require "
-                "libraries not present in this environment"
+                "mode='real' decodes WAV PCM16 / BMP24 / PNG containers; "
+                "codecs needing external libraries (JPEG/MP3/H.264) are "
+                "not available in this environment"
             )
         L = x.shape[0]
         w = -(-L // dim)  # ceil — same chunking rule as the fake kernel
@@ -89,10 +91,11 @@ def _decode_real(pdf: pd.DataFrame, dim: int) -> pd.DataFrame:
 
 def synthesize_real_media(spark: SparkSession, n: int) -> DataFrame:
     """Deterministic VALID-container media table for the mode='real' path:
-    even ids get a BMP24 image payload, odd ids a WAV PCM16 audio payload,
-    both synthesized per-id from a seeded generator through the
-    functions/codecs.py encoders (distributed — each task encodes its own
-    id range; no driver-side data)."""
+    ids cycle BMP24 image / WAV PCM16 audio / PNG image (the compressed
+    codec — each scanline filtered with a different predictive filter so
+    the decode exercises all five), all synthesized per-id from a seeded
+    generator through the functions/codecs.py encoders (distributed —
+    each task encodes its own id range; no driver-side data)."""
     from gstools_core_spark.functions import codecs
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -104,7 +107,8 @@ def synthesize_real_media(spark: SparkSession, n: int) -> DataFrame:
             for mid in pdf["id"]:
                 mid = int(mid)
                 rng = np.random.default_rng(mid + 7919)
-                if mid % 2 == 0:
+                m = mid % 3
+                if m == 0:
                     w, h = 8 + mid % 5, 6 + mid % 3
                     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                     out["payload"].append(codecs.encode_bmp(px))
@@ -112,7 +116,7 @@ def synthesize_real_media(spark: SparkSession, n: int) -> DataFrame:
                     out["width"].append(w)
                     out["height"].append(h)
                     out["sample_rate"].append(0)
-                else:
+                elif m == 1:
                     sr = 8000
                     s = rng.integers(
                         -32768, 32768, size=128 + mid % 64, dtype=np.int16
@@ -122,6 +126,16 @@ def synthesize_real_media(spark: SparkSession, n: int) -> DataFrame:
                     out["width"].append(0)
                     out["height"].append(0)
                     out["sample_rate"].append(sr)
+                else:
+                    w, h = 6 + mid % 7, 5 + mid % 4
+                    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    out["payload"].append(
+                        codecs.encode_png(px, filter_type=mid % 5)
+                    )
+                    out["kind"].append("image")
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sample_rate"].append(0)
                 out["media_id"].append(mid)
                 out["n_frames"].append(1)
             yield pd.DataFrame(out)
@@ -147,9 +161,9 @@ def extract_features(
     The Spark side (Arrow batching, schema, partition preservation) is real.
     ``mode='fake'`` is the deterministic byte-statistics kernel (fully
     Arrow-vectorized — the oracle-checked path); ``mode='real'`` decodes
-    actual uncompressed containers (WAV PCM16 / BMP24, pure numpy — see
-    functions/codecs.py) and raises NotImplementedError only for
-    compressed codecs that need external libraries.
+    actual containers (WAV PCM16 / BMP24 / PNG, stdlib + numpy — see
+    functions/codecs.py) and raises NotImplementedError only for codecs
+    that need external libraries.
     """
     if mode not in ("fake", "real"):
         raise ValueError(mode)
