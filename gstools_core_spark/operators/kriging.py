@@ -613,6 +613,21 @@ def krige(
         cv = c_pdf["cval"].to_numpy(np.float64)
         C_ext = c_pdf[cd_cols].to_numpy(np.float64) if ext_n else None
         T_ext = t_pdf[td_cols].to_numpy(np.float64) if ext_n else None
+        # canonical cond order (coords ascending, then value — the knn
+        # path's rule), applied UNCONDITIONALLY: within-group row order is
+        # shuffle-arrival order, so two plans computing the same cell
+        # (plain vs salted, fine vs grouped) deliver the same cond SET in
+        # different orders — and a permuted Gram matrix shifts the LU
+        # solve by ulps.  Sorting makes the solve a pure function of the
+        # set.  (The max_cond trim below re-ranks by center distance; its
+        # lexsort breaks distance ties canonically, so the trim was
+        # already order-free — this fixes the nc ≤ max_cond branch.)
+        _co = np.lexsort(
+            (cv,) + tuple(C_pts[:, k] for k in range(C_pts.shape[1] - 1, -1, -1))
+        )
+        C_pts, cv = C_pts[_co], cv[_co]
+        if ext_n:
+            C_ext = C_ext[_co]
         if len(C_pts) > max_cond:
             # keep the max_cond conditioning points nearest the cell center
             if geo_grid is not None:
@@ -672,10 +687,25 @@ def krige(
             A[nc:, :nc] = Fd
             A[:nc, nc:] = Fd.T
             B = np.vstack([V, Ft])
+            # invert ONCE, then a width-stable matmul — NOT
+            # np.linalg.solve(A, B): LAPACK's multi-RHS getrs/trsm is
+            # nrhs-blocked, so the same target column solved inside groups
+            # of different WIDTH (a salted sub-group vs the plain group;
+            # fine vs super-grouped) drifts by ulps (captured-array repro:
+            # identical A and B_j, different W_j at nrhs 801 vs 107).
+            # K.stable_matmul pins the per-call width so each target's
+            # weights are a pure function of (A, its own column) — the
+            # salting/grouping bitwise-invariance pins rest on this.  The
+            # inv also mirrors the reference, whose calc_field_krige
+            # consumes a PRE-INVERTED krige matrix (krige.rs), and this
+            # file's simple-kriging branch.
             try:
-                W = np.linalg.solve(A, B)  # weights + lagrange multipliers
+                Ainv = np.linalg.inv(A)
             except np.linalg.LinAlgError:
-                W = np.linalg.lstsq(A, B, rcond=None)[0]
+                # singular (e.g. universal with fewer neighbors than drift
+                # functions): pinv = the minimum-norm lstsq solution
+                Ainv = np.linalg.pinv(A)
+            W = K.stable_matmul(Ainv, B)  # weights + lagrange multipliers
             # multiply+sum over axis 0, NOT W[:nc].T @ cv: the gemv kernel
             # BLAS picks depends on nt, so the same target solved in a
             # salted sub-group (different nt) drifted 1 ulp; the pairwise

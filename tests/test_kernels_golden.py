@@ -211,3 +211,26 @@ def test_haversine_radians():
     pos = np.array([[0.0, 0.0], [0.0, 1.0]])
     d = K.haversine_dist(pos[:, :1], pos[:, 1:])
     np.testing.assert_allclose(d, [np.pi / 180.0], rtol=1e-12)
+
+
+def test_stable_matmul_width_and_position_independent():
+    """The property the kriging bitwise-invariance pins rest on: a target
+    column's product depends ONLY on (M, that column) — not on how many
+    other targets share the batch (a salted sub-group vs the plain cell
+    group) or where in the batch it sits.  Plain dgemm does NOT have this
+    property (its remainder-row micro-kernel switches strategy with the
+    column count — the round-5 captured-array repro), which is why
+    stable_matmul fixes the per-call width."""
+    rng = np.random.default_rng(5)
+    for n in (65, 268, 513):
+        A = rng.normal(size=(n, n))
+        A = A @ A.T + n * np.eye(n)
+        M = np.linalg.inv(A)
+        B = rng.normal(size=(n, 801))
+        ref = K.stable_matmul(M, B)
+        np.testing.assert_allclose(ref, M @ B, rtol=1e-12)
+        for _ in range(4):
+            idx = rng.permutation(801)[: rng.integers(3, 801)]
+            got = K.stable_matmul(M, B[:, idx])
+            for k, j in enumerate(idx[:50]):
+                np.testing.assert_array_equal(got[:, k], ref[:, j])
