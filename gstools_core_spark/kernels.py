@@ -364,6 +364,27 @@ def stable_matmul(M: np.ndarray, B: np.ndarray, block: int = 128) -> np.ndarray:
     return out
 
 
+def stable_solve(A: np.ndarray, B: np.ndarray, block: int = 512) -> np.ndarray:
+    """``np.linalg.solve(A, B)`` with every underlying LAPACK call at
+    EXACTLY ``block`` RHS columns (zero-padded): per-column results are
+    then a pure function of ``(A, that column)`` — see stable_matmul for
+    why plain multi-RHS getrs/trsm is width-dependent.  Re-factors A once
+    per chunk, so for nt ≤ block (every bench/production cell batch) the
+    cost is ONE getrf + one fixed-width trsm — measured 1.09× plain solve
+    at (1025, 500), vs 1.6× for inv + stable_matmul (getri's extra n³
+    dominates at large n with narrow target batches).  Raises
+    LinAlgError on singular input like np.linalg.solve."""
+    A = np.ascontiguousarray(A)
+    n, nt = B.shape
+    out = np.empty((n, nt))
+    for s in range(0, nt, block):
+        e = min(s + block, nt)
+        Bp = np.zeros((n, block))
+        Bp[:, : e - s] = B[:, s:e]
+        out[:, s:e] = np.linalg.solve(A, Bp)[:, : e - s]
+    return out
+
+
 def calc_field_krige(
     krig_mat: np.ndarray, krig_vecs: np.ndarray, cond: np.ndarray
 ) -> np.ndarray:

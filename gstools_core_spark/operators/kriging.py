@@ -687,25 +687,22 @@ def krige(
             A[nc:, :nc] = Fd
             A[:nc, nc:] = Fd.T
             B = np.vstack([V, Ft])
-            # invert ONCE, then a width-stable matmul — NOT
-            # np.linalg.solve(A, B): LAPACK's multi-RHS getrs/trsm is
-            # nrhs-blocked, so the same target column solved inside groups
-            # of different WIDTH (a salted sub-group vs the plain group;
-            # fine vs super-grouped) drifts by ulps (captured-array repro:
-            # identical A and B_j, different W_j at nrhs 801 vs 107).
-            # K.stable_matmul pins the per-call width so each target's
-            # weights are a pure function of (A, its own column) — the
-            # salting/grouping bitwise-invariance pins rest on this.  The
-            # inv also mirrors the reference, whose calc_field_krige
-            # consumes a PRE-INVERTED krige matrix (krige.rs), and this
-            # file's simple-kriging branch.
+            # width-stable solve — NOT plain np.linalg.solve(A, B):
+            # LAPACK's multi-RHS getrs/trsm is nrhs-blocked, so the same
+            # target column solved inside groups of different WIDTH (a
+            # salted sub-group vs the plain group; fine vs super-grouped)
+            # drifts by ulps (captured-array repro: identical A and B_j,
+            # different W_j at nrhs 801 vs 107).  K.stable_solve pins the
+            # per-call width so each target's weights are a pure function
+            # of (A, its own column) — the salting/grouping
+            # bitwise-invariance pins rest on this.
             try:
-                Ainv = np.linalg.inv(A)
+                W = K.stable_solve(A, B)  # weights + lagrange multipliers
             except np.linalg.LinAlgError:
                 # singular (e.g. universal with fewer neighbors than drift
-                # functions): pinv = the minimum-norm lstsq solution
-                Ainv = np.linalg.pinv(A)
-            W = K.stable_matmul(Ainv, B)  # weights + lagrange multipliers
+                # functions): pinv = the minimum-norm lstsq solution,
+                # applied through the width-stable matmul
+                W = K.stable_matmul(np.linalg.pinv(A), B)
             # multiply+sum over axis 0, NOT W[:nc].T @ cv: the gemv kernel
             # BLAS picks depends on nt, so the same target solved in a
             # salted sub-group (different nt) drifted 1 ulp; the pairwise

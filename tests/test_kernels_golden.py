@@ -234,3 +234,22 @@ def test_stable_matmul_width_and_position_independent():
             got = K.stable_matmul(M, B[:, idx])
             for k, j in enumerate(idx[:50]):
                 np.testing.assert_array_equal(got[:, k], ref[:, j])
+
+
+def test_stable_solve_width_and_position_independent():
+    """Same property as stable_matmul, for the bordered kriging solve:
+    plain np.linalg.solve(A, B) drifts by ulps for the same column at
+    different RHS widths (LAPACK getrs/trsm blocking); stable_solve's
+    fixed-width padded calls do not."""
+    rng = np.random.default_rng(7)
+    for n in (65, 268, 513):
+        A = rng.normal(size=(n, n))
+        A = A @ A.T + n * np.eye(n)
+        B = rng.normal(size=(n, 801))
+        ref = K.stable_solve(A, B)
+        np.testing.assert_allclose(ref, np.linalg.solve(A, B), rtol=1e-9)
+        for _ in range(4):
+            idx = rng.permutation(801)[: rng.integers(3, 801)]
+            got = K.stable_solve(A, B[:, idx])
+            for k, j in enumerate(idx[:50]):
+                np.testing.assert_array_equal(got[:, k], ref[:, j])
