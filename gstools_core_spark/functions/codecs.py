@@ -18,6 +18,12 @@ byte→pixels path: the container parse is per-payload by nature (exactly
 like a PIL/libsndfile decode would be), while everything downstream of the
 parse is vectorized numpy.  Encoders exist so tests and demos can
 synthesize valid payloads deterministically without external files.
+
+Baseline JPEG (the lossy transform codec — Huffman entropy coding, 8×8
+DCT, chroma subsampling) lives in functions/jpeg.py and is re-exported
+here; its interoperability is cross-checked against the JVM's
+``javax.imageio`` codec in tests (the one independent JPEG
+implementation present in this environment).
 """
 
 from __future__ import annotations
@@ -26,6 +32,11 @@ import struct
 import zlib
 
 import numpy as np
+
+from gstools_core_spark.functions.jpeg import (  # noqa: F401 — re-export
+    decode_jpeg,
+    encode_jpeg,
+)
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:

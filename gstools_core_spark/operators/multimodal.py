@@ -5,11 +5,13 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages.  ``mode='fake'`` produces a deterministic feature
 vector from the raw bytes (real Spark plumbing — schema, batching,
 partitioning — with a fake kernel; fully Arrow-vectorized and
-oracle-checked).  ``mode='real'`` decodes the three containers stdlib +
-numpy can handle without codec libraries — WAV PCM16, BMP24, and PNG
-(a real DEFLATE-compressed codec via stdlib zlib; see
-functions/codecs.py) — and raises NotImplementedError only for codecs
-(JPEG/MP3/H.264) that genuinely need libraries this environment lacks.
+oracle-checked).  ``mode='real'`` decodes the four containers stdlib +
+numpy can handle without codec libraries — WAV PCM16, BMP24, PNG
+(lossless DEFLATE via stdlib zlib), and baseline JPEG (lossy DCT +
+Huffman, cross-checked against the JVM's javax.imageio codec; see
+functions/codecs.py and functions/jpeg.py) — and raises
+NotImplementedError only for codecs (MP3/H.264/progressive JPEG) that
+genuinely need libraries this environment lacks.
 """
 
 from __future__ import annotations
@@ -49,15 +51,16 @@ def synthesize_media(spark: SparkSession, n: int) -> DataFrame:
 
 
 def _decode_real(pdf: pd.DataFrame, dim: int) -> pd.DataFrame:
-    """mode='real' kernel: ACTUAL byte→samples/pixels decode for the three
+    """mode='real' kernel: ACTUAL byte→samples/pixels decode for the four
     containers a codec-library-free environment can handle — WAV PCM16
-    (RIFF magic), BMP24 ('BM' magic), and PNG (DEFLATE-compressed
-    scanlines + predictive filters, via stdlib zlib) through
-    functions/codecs.py — then the same dim-chunk zero-padded means as the
-    fake kernel, over |samples|/32768 resp. pixels/255.  The container
-    parse is per-payload by nature (a PIL/libsndfile decode would be too);
-    everything after the parse is vectorized.  Codecs needing external
-    libraries (JPEG/MP3/H.264) still raise NotImplementedError."""
+    (RIFF magic), BMP24 ('BM' magic), PNG (DEFLATE-compressed scanlines +
+    predictive filters, via stdlib zlib), and baseline JPEG (FFD8 magic —
+    Huffman + 8×8 DCT, functions/jpeg.py) through functions/codecs.py —
+    then the same dim-chunk zero-padded means as the fake kernel, over
+    |samples|/32768 resp. pixels/255.  The container parse is per-payload
+    by nature (a PIL/libsndfile decode would be too); everything after
+    the parse is vectorized.  Codecs needing external libraries
+    (MP3/H.264/progressive JPEG) still raise NotImplementedError."""
     from gstools_core_spark.functions import codecs
 
     feats = []
@@ -73,11 +76,14 @@ def _decode_real(pdf: pd.DataFrame, dim: int) -> pd.DataFrame:
             x = codecs.decode_bmp(b).astype(np.float64).ravel() / 255.0
         elif b[:8] == b"\x89PNG\r\n\x1a\n":
             x = codecs.decode_png(b).astype(np.float64).ravel() / 255.0
+        elif b[:2] == b"\xff\xd8":
+            x = codecs.decode_jpeg(b).astype(np.float64).ravel() / 255.0
         else:
             raise NotImplementedError(
-                "mode='real' decodes WAV PCM16 / BMP24 / PNG containers; "
-                "codecs needing external libraries (JPEG/MP3/H.264) are "
-                "not available in this environment"
+                "mode='real' decodes WAV PCM16 / BMP24 / PNG / baseline "
+                "JPEG containers; codecs needing external libraries "
+                "(MP3/H.264/progressive JPEG) are not available in this "
+                "environment"
             )
         L = x.shape[0]
         w = -(-L // dim)  # ceil — same chunking rule as the fake kernel
@@ -91,11 +97,12 @@ def _decode_real(pdf: pd.DataFrame, dim: int) -> pd.DataFrame:
 
 def synthesize_real_media(spark: SparkSession, n: int) -> DataFrame:
     """Deterministic VALID-container media table for the mode='real' path:
-    ids cycle BMP24 image / WAV PCM16 audio / PNG image (the compressed
-    codec — each scanline filtered with a different predictive filter so
-    the decode exercises all five), all synthesized per-id from a seeded
-    generator through the functions/codecs.py encoders (distributed —
-    each task encodes its own id range; no driver-side data)."""
+    ids cycle BMP24 image / WAV PCM16 audio / PNG image (lossless
+    DEFLATE — each scanline filtered with a different predictive filter
+    so the decode exercises all five) / baseline JPEG image (lossy DCT +
+    Huffman), all synthesized per-id from a seeded generator through the
+    functions/codecs.py encoders (distributed — each task encodes its
+    own id range; no driver-side data)."""
     from gstools_core_spark.functions import codecs
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -107,7 +114,7 @@ def synthesize_real_media(spark: SparkSession, n: int) -> DataFrame:
             for mid in pdf["id"]:
                 mid = int(mid)
                 rng = np.random.default_rng(mid + 7919)
-                m = mid % 3
+                m = mid % 4
                 if m == 0:
                     w, h = 8 + mid % 5, 6 + mid % 3
                     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -126,12 +133,31 @@ def synthesize_real_media(spark: SparkSession, n: int) -> DataFrame:
                     out["width"].append(0)
                     out["height"].append(0)
                     out["sample_rate"].append(sr)
-                else:
+                elif m == 2:
                     w, h = 6 + mid % 7, 5 + mid % 4
                     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                     out["payload"].append(
                         codecs.encode_png(px, filter_type=mid % 5)
                     )
+                    out["kind"].append("image")
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sample_rate"].append(0)
+                else:
+                    # smooth per-id gradient: a realistic JPEG subject
+                    # (uniform noise is the codec's worst case)
+                    w, h = 16 + mid % 9, 16 + mid % 5
+                    gx = np.linspace(0, 255, w)[None, :]
+                    gy = np.linspace(0, 255, h)[:, None]
+                    px = np.stack(
+                        [
+                            np.broadcast_to(gx, (h, w)),
+                            np.broadcast_to(gy, (h, w)),
+                            np.full((h, w), (mid * 37) % 256, np.float64),
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    out["payload"].append(codecs.encode_jpeg(px))
                     out["kind"].append("image")
                     out["width"].append(w)
                     out["height"].append(h)
@@ -161,9 +187,9 @@ def extract_features(
     The Spark side (Arrow batching, schema, partition preservation) is real.
     ``mode='fake'`` is the deterministic byte-statistics kernel (fully
     Arrow-vectorized — the oracle-checked path); ``mode='real'`` decodes
-    actual containers (WAV PCM16 / BMP24 / PNG, stdlib + numpy — see
-    functions/codecs.py) and raises NotImplementedError only for codecs
-    that need external libraries.
+    actual containers (WAV PCM16 / BMP24 / PNG / baseline JPEG, stdlib +
+    numpy — see functions/codecs.py) and raises NotImplementedError only
+    for codecs that need external libraries.
     """
     if mode not in ("fake", "real"):
         raise ValueError(mode)

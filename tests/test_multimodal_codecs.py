@@ -158,6 +158,102 @@ def test_png_crc_and_errors():
         codecs.decode_png(bytes(good))
 
 
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0**2 / mse) if mse else np.inf
+
+
+def test_jpeg_solid_block_exact_and_round_trip():
+    """A solid 8×8 block is DC-only — the baseline pipeline must
+    reconstruct it EXACTLY; smooth content round-trips at high PSNR;
+    structural errors are loud."""
+    solid = np.full((8, 8), 96, dtype=np.uint8)
+    np.testing.assert_array_equal(
+        codecs.decode_jpeg(codecs.encode_jpeg(solid)), solid
+    )
+    g = np.linspace(0, 255, 64 * 48).reshape(48, 64).astype(np.uint8)
+    assert _psnr(g, codecs.decode_jpeg(codecs.encode_jpeg(g))) > 40
+    x = np.linspace(0, 255, 80)[None, :].repeat(56, 0)
+    rgb = np.stack([x, x[::-1], np.full_like(x, 128)], axis=2).astype(np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(rgb))
+    assert dec.shape == rgb.shape and _psnr(rgb, dec) > 38
+    # odd (non-multiple-of-8) sizes: edge-replicated padding, exact crop
+    rng = np.random.default_rng(3)
+    o = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    assert codecs.decode_jpeg(codecs.encode_jpeg(o)).shape == o.shape
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="JPEG"):
+        codecs.decode_jpeg(b"\x00" * 16)
+    # progressive SOF2 must be rejected loudly, not mis-decoded
+    prog = bytearray(codecs.encode_jpeg(solid))
+    i = bytes(prog).find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        codecs.decode_jpeg(bytes(prog))
+
+
+def test_jpeg_interop_with_jvm_imageio(spark):
+    """Cross-implementation check against the ONE independent JPEG codec
+    in this environment: the Spark JVM's javax.imageio.
+
+    Both directions: (a) our encoder's stream decoded by ImageIO must
+    match our decoder at high PSNR (same stream, different IDCT
+    rounding); (b) an ImageIO-ENCODED stream (libjpeg-style 4:2:0
+    chroma subsampling) must decode through our decoder close to the
+    original — exercising the H2V2 upsampling path our own encoder
+    never emits."""
+    jvm = spark.sparkContext._jvm
+    gx = np.linspace(0, 255, 48)[None, :].repeat(40, 0)
+    rgb = np.stack(
+        [gx, gx[::-1], np.linspace(0, 255, 40)[:, None].repeat(48, 1)], axis=2
+    ).astype(np.uint8)
+    h, w = rgb.shape[:2]
+
+    def imageio_decode(payload: bytes) -> np.ndarray:
+        stream = jvm.java.io.ByteArrayInputStream(bytearray(payload))
+        img = jvm.javax.imageio.ImageIO.read(stream)
+        assert img is not None, "JVM ImageIO could not parse our JPEG"
+        arr = np.array(
+            img.getRGB(0, 0, img.getWidth(), img.getHeight(), None, 0, img.getWidth()),
+            dtype=np.int64,
+        ).reshape(img.getHeight(), img.getWidth())
+        return np.stack(
+            [(arr >> 16) & 0xFF, (arr >> 8) & 0xFF, arr & 0xFF], axis=2
+        ).astype(np.uint8)
+
+    # (a) ours → ImageIO
+    payload = codecs.encode_jpeg(rgb)
+    theirs = imageio_decode(payload)
+    ours = codecs.decode_jpeg(payload)
+    assert theirs.shape == ours.shape == rgb.shape
+    assert _psnr(theirs, ours) > 40, "ImageIO disagrees with our decoder"
+    assert _psnr(theirs, rgb) > 35, "ImageIO round-trip quality sanity"
+
+    # (b) ImageIO → ours (typically 4:2:0 — the upsampling decode path)
+    bimg = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    packed = (
+        (rgb[:, :, 0].astype(np.int64) << 16)
+        | (rgb[:, :, 1].astype(np.int64) << 8)
+        | rgb[:, :, 2].astype(np.int64)
+    ).ravel()
+    gateway = spark.sparkContext._gateway
+    jarr = gateway.new_array(jvm.int, len(packed))
+    for i, v in enumerate(packed):
+        jarr[i] = int(v)
+    bimg.setRGB(0, 0, w, h, jarr, 0, w)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ok = jvm.javax.imageio.ImageIO.write(bimg, "jpg", baos)
+    assert ok
+    their_payload = bytes(baos.toByteArray())
+    dec = codecs.decode_jpeg(their_payload)
+    assert dec.shape == rgb.shape
+    assert _psnr(dec, rgb) > 30, "our decoder on an ImageIO-encoded stream"
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from hypothesis.extra.numpy import arrays
@@ -225,7 +321,7 @@ def test_extract_features_real_matches_numpy(spark):
     assert len(got) == 24
     for mid in range(24):
         rng = np.random.default_rng(mid + 7919)
-        m = mid % 3
+        m = mid % 4
         if m == 0:
             w, h = 8 + mid % 5, 6 + mid % 3
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -233,10 +329,26 @@ def test_extract_features_real_matches_numpy(spark):
         elif m == 1:
             s = rng.integers(-32768, 32768, size=128 + mid % 64, dtype=np.int16)
             x = np.abs(s.astype(np.float64)) / 32768.0
-        else:
+        elif m == 2:
             w, h = 6 + mid % 7, 5 + mid % 4
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             x = px.astype(np.float64).ravel() / 255.0
+        else:
+            # JPEG is lossy: the reference is decode(encode(px)) — both
+            # sides deterministic
+            w, h = 16 + mid % 9, 16 + mid % 5
+            gx = np.linspace(0, 255, w)[None, :]
+            gy = np.linspace(0, 255, h)[:, None]
+            px = np.stack(
+                [
+                    np.broadcast_to(gx, (h, w)),
+                    np.broadcast_to(gy, (h, w)),
+                    np.full((h, w), (mid * 37) % 256, np.float64),
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            dec = codecs.decode_jpeg(codecs.encode_jpeg(px))
+            x = dec.astype(np.float64).ravel() / 255.0
         wch = -(-len(x) // dim)
         padded = np.zeros(wch * dim)
         padded[: len(x)] = x
