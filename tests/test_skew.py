@@ -101,6 +101,25 @@ def test_krige_salting_bitwise_invariant(spark):
         assert _collect_krige(plain) == _collect_krige(salted)
 
 
+def test_krige_salting_bitwise_invariant_simple_universal(spark):
+    """The invariance promise is method-agnostic: the simple path goes
+    through the pre-inverted-matrix kernel (stable_matmul products) and
+    universal through the drift-extended stable_solve — both must be
+    bit-identical under salting, like the ordinary pin above."""
+    from gstools_core_spark.operators.kriging import GaussianModel, krige
+
+    df, _, _ = _skewed_points(spark)
+    cond = df.where(F.col("id") % 3 == 0)
+    model = GaussianModel(var=1.0, len_scale=0.4, nugget=0.01)
+    for method in ("simple", "universal"):
+        plain = krige(df, cond, model, radius=1.0, method=method)
+        salted = krige(
+            df, cond, model, radius=1.0, method=method,
+            salt_hot=8, hot_threshold=300,
+        )
+        assert _collect_krige(plain) == _collect_krige(salted), method
+
+
 def test_krige_salting_geo_bitwise_invariant(spark):
     """Sphere path: the _ksalt key component must not be mistaken for the
     lon cell index inside solve_cell's max_cond center ranking."""
