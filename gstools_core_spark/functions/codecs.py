@@ -234,7 +234,9 @@ def decode_png(payload: bytes | bytearray, check_crc: bool = True) -> np.ndarray
         (length,) = struct.unpack(">I", b[pos : pos + 4])
         ctype = b[pos + 4 : pos + 8]
         data = b[pos + 8 : pos + 8 + length]
-        if len(data) != length:
+        if len(data) != length or pos + 12 + length > len(b):
+            # covers payloads cut inside the data OR inside the 4-byte CRC
+            # (struct.unpack on a short CRC slice would leak struct.error)
             raise ValueError("truncated PNG chunk")
         if check_crc:
             (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])

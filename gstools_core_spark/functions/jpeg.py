@@ -263,40 +263,51 @@ def _encode_plane(
 ) -> int:
     """Forward DCT + quantize (vectorized over all blocks), then the
     sequential Huffman scan.  Returns the final DC predictor."""
-    # vectorized: level shift, 2-D DCT, quantize, zigzag
-    d = np.einsum("ij,njk,lk->nil", _T, blocks - 128.0, _T)
-    q = np.round(d / quant).astype(np.int64)
-    zz = q.reshape(-1, 64)[:, ZIGZAG]
+    zz = _quantize_zigzag(blocks, quant)
     dc_codes = _huff_codes(*dc_tbl)
     ac_codes = _huff_codes(*ac_tbl)
     for row in zz:
-        diff = int(row[0]) - pred
-        pred = int(row[0])
-        size, bits = _category(diff)
-        c, l = dc_codes[size]
+        pred = _write_block(row, pred, dc_codes, ac_codes, writer)
+    return pred
+
+
+def _quantize_zigzag(blocks: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) pixel blocks → (n, 64) quantized zigzag coefficient rows —
+    level shift, 2-D DCT, quantize, zigzag, all vectorized over n."""
+    d = np.einsum("ij,njk,lk->nil", _T, blocks - 128.0, _T)
+    q = np.round(d / quant).astype(np.int64)
+    return q.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _write_block(row, pred, dc_codes, ac_codes, writer) -> int:
+    """Huffman-encode ONE quantized zigzag row; returns the new DC pred."""
+    diff = int(row[0]) - pred
+    pred = int(row[0])
+    size, bits = _category(diff)
+    c, l = dc_codes[size]
+    writer.write(c, l)
+    if size:
+        writer.write(bits, size)
+    run = 0
+    nz = np.nonzero(row[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(row[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, l = ac_codes[0xF0]  # ZRL
+            writer.write(c, l)
+            run -= 16
+        size, bits = _category(v)
+        c, l = ac_codes[(run << 4) | size]
         writer.write(c, l)
-        if size:
-            writer.write(bits, size)
+        writer.write(bits, size)
         run = 0
-        nz = np.nonzero(row[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for k in range(1, last + 1):
-            v = int(row[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                c, l = ac_codes[0xF0]  # ZRL
-                writer.write(c, l)
-                run -= 16
-            size, bits = _category(v)
-            c, l = ac_codes[(run << 4) | size]
-            writer.write(c, l)
-            writer.write(bits, size)
-            run = 0
-        if last < 63:
-            c, l = ac_codes[0x00]  # EOB
-            writer.write(c, l)
+    if last < 63:
+        c, l = ac_codes[0x00]  # EOB
+        writer.write(c, l)
     return pred
 
 
@@ -348,21 +359,22 @@ def encode_jpeg(pixels: np.ndarray, quality_scale: int = 1) -> bytes:
         blocks, _, _ = _blockify(planes[0])
         _encode_plane(blocks, ql, DC_LUMA, AC_LUMA, writer, 0)
     else:
-        # non-interleaved would need DNL; emit interleaved 4:4:4 MCUs —
-        # one block per component per MCU, in component order
-        blks = [_blockify(p)[0] for p in planes]
-        preds = [0, 0, 0]
-        n = blks[0].shape[0]
-        specs = [
-            (ql, DC_LUMA, AC_LUMA),
-            (qc, DC_CHROMA, AC_CHROMA),
-            (qc, DC_CHROMA, AC_CHROMA),
+        # interleaved 4:4:4 MCUs — one block per component per MCU, in
+        # component order.  DCT/quantize/zigzag run vectorized over each
+        # WHOLE plane up front and the Huffman code dicts are built once;
+        # only the bit-level block interleaving is sequential.
+        zzs = [
+            _quantize_zigzag(_blockify(p)[0], q)
+            for p, q in zip(planes, (ql, qc, qc))
         ]
-        for i in range(n):
+        dc_luma, ac_luma = _huff_codes(*DC_LUMA), _huff_codes(*AC_LUMA)
+        dc_chr, ac_chr = _huff_codes(*DC_CHROMA), _huff_codes(*AC_CHROMA)
+        codes = [(dc_luma, ac_luma), (dc_chr, ac_chr), (dc_chr, ac_chr)]
+        preds = [0, 0, 0]
+        for i in range(zzs[0].shape[0]):
             for c in range(3):
-                q, dct, act = specs[c]
-                preds[c] = _encode_plane(
-                    blks[c][i : i + 1], q, dct, act, writer, preds[c]
+                preds[c] = _write_block(
+                    zzs[c][i], preds[c], codes[c][0], codes[c][1], writer
                 )
     out += writer.flush()
     out += b"\xFF\xD9"  # EOI
@@ -441,6 +453,15 @@ def decode_jpeg(payload: bytes | bytearray) -> np.ndarray:
     if frame is None or scan is None:
         raise ValueError("missing SOF/SOS")
     h, w, comps = frame
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — one
+        # block per MCU in the component's own row-major order,
+        # regardless of the sampling factors declared in SOF (e.g. a
+        # grayscale file transcoded from 4:2:0 keeps 2×2 factors).
+        # Forcing 1×1 here makes the generic MCU loop below implement
+        # exactly that rule instead of scrambling block order.
+        cid, _, _, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if not all((c[1], c[2]) in ((1, 1), (2, 2)) or (c[1] == hmax and c[2] == vmax)

@@ -613,17 +613,25 @@ def krige(
         cv = c_pdf["cval"].to_numpy(np.float64)
         C_ext = c_pdf[cd_cols].to_numpy(np.float64) if ext_n else None
         T_ext = t_pdf[td_cols].to_numpy(np.float64) if ext_n else None
-        # canonical cond order (coords ascending, then value — the knn
-        # path's rule), applied UNCONDITIONALLY: within-group row order is
-        # shuffle-arrival order, so two plans computing the same cell
-        # (plain vs salted, fine vs grouped) deliver the same cond SET in
-        # different orders — and a permuted Gram matrix shifts the LU
-        # solve by ulps.  Sorting makes the solve a pure function of the
-        # set.  (The max_cond trim below re-ranks by center distance; its
-        # lexsort breaks distance ties canonically, so the trim was
-        # already order-free — this fixes the nc ≤ max_cond branch.)
+        # canonical cond order (coords ascending, then value, then any
+        # external-drift columns — the knn path's rule extended), applied
+        # UNCONDITIONALLY: within-group row order is shuffle-arrival
+        # order, so two plans computing the same cell (plain vs salted,
+        # fine vs grouped) deliver the same cond SET in different orders —
+        # and a permuted Gram matrix shifts the LU solve by ulps.  Sorting
+        # makes the solve a pure function of the set.  Drift columns must
+        # join the keys: two rows tying on (coords, value) but differing
+        # in drift would otherwise keep arrival order (lexsort is stable)
+        # and permute the bordered Fd rows between plans.  (The max_cond
+        # trim below re-ranks by center distance; its lexsort breaks ties
+        # with the same full key set, so the trim is order-free too.)
+        _ext_keys = (
+            tuple(C_ext[:, j] for j in range(ext_n - 1, -1, -1)) if ext_n else ()
+        )
         _co = np.lexsort(
-            (cv,) + tuple(C_pts[:, k] for k in range(C_pts.shape[1] - 1, -1, -1))
+            _ext_keys
+            + (cv,)
+            + tuple(C_pts[:, k] for k in range(C_pts.shape[1] - 1, -1, -1))
         )
         C_pts, cv = C_pts[_co], cv[_co]
         if ext_n:
@@ -649,7 +657,10 @@ def krige(
             # canonical order (center distance, coords…, value): a bare
             # argpartition breaks distance ties by shuffle arrival order,
             # making the kept neighborhood — and the kriged values —
-            # nondeterministic across runs (the knn path's lexsort rule)
+            # nondeterministic across runs (the knn path's lexsort rule).
+            # Rows tying on ALL keys keep their relative order from the
+            # unconditional canonical sort above (lexsort is stable), so
+            # drift columns need not repeat here.
             order = np.lexsort(
                 (cv,)
                 + tuple(C_pts[:, k] for k in range(C_pts.shape[1] - 1, -1, -1))

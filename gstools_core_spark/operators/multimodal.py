@@ -98,11 +98,11 @@ def _decode_real(pdf: pd.DataFrame, dim: int) -> pd.DataFrame:
 def synthesize_real_media(spark: SparkSession, n: int) -> DataFrame:
     """Deterministic VALID-container media table for the mode='real' path:
     ids cycle BMP24 image / WAV PCM16 audio / PNG image (lossless
-    DEFLATE — each scanline filtered with a different predictive filter
-    so the decode exercises all five) / baseline JPEG image (lossy DCT +
-    Huffman), all synthesized per-id from a seeded generator through the
-    functions/codecs.py encoders (distributed — each task encodes its
-    own id range; no driver-side data)."""
+    DEFLATE; each PNG payload uses filter type ``id % 5``, so across ids
+    the decode exercises all five predictive filters) / baseline JPEG
+    image (lossy DCT + Huffman), all synthesized per-id from a seeded
+    generator through the functions/codecs.py encoders (distributed —
+    each task encodes its own id range; no driver-side data)."""
     from gstools_core_spark.functions import codecs
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

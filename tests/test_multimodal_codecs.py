@@ -194,6 +194,39 @@ def test_jpeg_solid_block_exact_and_round_trip():
         codecs.decode_jpeg(bytes(prog))
 
 
+def test_jpeg_single_component_ignores_sampling_factors():
+    """T.81 A.2: a single-component scan is NON-interleaved — one block
+    per MCU in row-major order, regardless of the SOF sampling factors
+    (e.g. grayscale transcoded from 4:2:0 keeps 2×2 factors).  Patch our
+    gray payload's sampling byte to 0x22: the decode must be unchanged,
+    not block-scrambled."""
+    g = np.linspace(0, 255, 32 * 32).reshape(32, 32).astype(np.uint8)
+    payload = bytearray(codecs.encode_jpeg(g))
+    want = codecs.decode_jpeg(bytes(payload))
+    i = bytes(payload).find(b"\xff\xc0")
+    # SOF0 layout: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) [cid hv tq]
+    hv_off = i + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    assert payload[hv_off] == 0x11
+    payload[hv_off] = 0x22
+    got = codecs.decode_jpeg(bytes(payload))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_png_truncated_crc_raises_value_error():
+    """A payload cut inside a chunk's 4-byte CRC must raise the codec's
+    ValueError, not leak struct.error."""
+    px = np.arange(48, dtype=np.uint8).reshape(4, 12)
+    payload = codecs.encode_png(px)
+    # cut two bytes into the IDAT chunk's CRC: data complete, CRC short
+    import struct as _struct
+
+    idat_pos = 8 + 25  # signature + IHDR chunk
+    (idat_len,) = _struct.unpack(">I", payload[idat_pos : idat_pos + 4])
+    cut = idat_pos + 8 + idat_len + 2
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_png(payload[:cut])
+
+
 def test_jpeg_interop_with_jvm_imageio(spark):
     """Cross-implementation check against the ONE independent JPEG codec
     in this environment: the Spark JVM's javax.imageio.
@@ -231,20 +264,17 @@ def test_jpeg_interop_with_jvm_imageio(spark):
     assert _psnr(theirs, ours) > 40, "ImageIO disagrees with our decoder"
     assert _psnr(theirs, rgb) > 35, "ImageIO round-trip quality sanity"
 
-    # (b) ImageIO → ours (typically 4:2:0 — the upsampling decode path)
+    # (b) ImageIO → ours (typically 4:2:0 — the upsampling decode path).
+    # One-call pixel transfer: a TYPE_3BYTE_BGR raster takes the whole
+    # interleaved byte[] at once (py4j converts bytearray directly);
+    # per-element int[] writes would be ~2k synchronous gateway calls.
     bimg = jvm.java.awt.image.BufferedImage(
-        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_3BYTE_BGR
     )
-    packed = (
-        (rgb[:, :, 0].astype(np.int64) << 16)
-        | (rgb[:, :, 1].astype(np.int64) << 8)
-        | rgb[:, :, 2].astype(np.int64)
-    ).ravel()
-    gateway = spark.sparkContext._gateway
-    jarr = gateway.new_array(jvm.int, len(packed))
-    for i, v in enumerate(packed):
-        jarr[i] = int(v)
-    bimg.setRGB(0, 0, w, h, jarr, 0, w)
+    # data-element order for this raster is R,G,B (verified by a
+    # setDataElements→getRGB round-trip; the type's NAME refers to the
+    # band-offset layout, not the raw element order)
+    bimg.getRaster().setDataElements(0, 0, w, h, bytearray(rgb.tobytes()))
     baos = jvm.java.io.ByteArrayOutputStream()
     ok = jvm.javax.imageio.ImageIO.write(bimg, "jpg", baos)
     assert ok
@@ -304,9 +334,11 @@ def test_png_round_trip_property(px, ft):
 
 def test_extract_features_real_matches_numpy(spark):
     """mode='real' through Spark == the same decode+chunk-mean computed
-    directly in numpy from the identical synthesized payloads.  The %3==2
-    ids are PNG — DEFLATE round-trips losslessly, so the reference is the
-    raw pixel array; ids cycle through all five scanline filters."""
+    directly in numpy from the identical synthesized payloads.  Ids cycle
+    %4: BMP / WAV / PNG / JPEG.  PNG (DEFLATE) round-trips losslessly, so
+    its reference is the raw pixel array (across ids every scanline
+    filter type appears); JPEG is lossy, so its reference is
+    decode(encode(px)) — both sides deterministic."""
     from gstools_core_spark.operators.multimodal import (
         extract_features,
         synthesize_real_media,
