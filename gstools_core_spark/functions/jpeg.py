@@ -157,6 +157,11 @@ class _BitWriter:
             self.buf.append(b)
             if b == 0xFF:  # byte stuffing (B.1.1.5)
                 self.buf.append(0x00)
+        # trim consumed bits: without this acc grows into an unbounded
+        # Python bigint over the scan and every shift/mask becomes O(scan
+        # length) — encode turned quadratic in image size (measured ~18×
+        # time for 4× pixels at 512×512)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -196,6 +201,9 @@ class _BitReader:
                     continue
             self.acc = (self.acc << 8) | b
             self.nbits += 8
+        # trim consumed bits (same unbounded-bigint quadratic as the
+        # writer: read_bit only ever looks at the low nbits)
+        self.acc &= (1 << self.nbits) - 1
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -318,6 +326,11 @@ def encode_jpeg(pixels: np.ndarray, quality_scale: int = 1) -> bytes:
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("expected (h, w) gray or (h, w, 3) RGB uint8")
+    if quality_scale < 1:
+        # a non-positive scale clips the quant tables to all 1s, where a
+        # worst-case block can yield a quantized AC magnitude > 1023
+        # (size 11) — a symbol absent from the Annex-K AC tables
+        raise ValueError(f"quality_scale must be >= 1, got {quality_scale}")
     h, w = px.shape[:2]
     ql = np.clip(QUANT_LUMA * quality_scale, 1, 255)
     qc = np.clip(QUANT_CHROMA * quality_scale, 1, 255)
@@ -399,8 +412,16 @@ def decode_jpeg(payload: bytes | bytearray) -> np.ndarray:
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
         marker = b[pos + 1]
+        if marker == 0xFF:  # legal 0xFF fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # length-less standalone markers (TEM, stray RSTn) between
+            # segments: skip, don't misparse what follows as a length field
+            pos += 2
+            continue
         (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         body = b[pos + 4 : pos + 2 + seg_len]
         pos += 2 + seg_len
@@ -462,11 +483,17 @@ def decode_jpeg(payload: bytes | bytearray) -> np.ndarray:
         # exactly that rule instead of scrambling block order.
         cid, _, _, tq = comps[0]
         comps = [(cid, 1, 1, tq)]
+    if len(comps) > 1 and len(scan) != len(comps):
+        # legal T.81 non-interleaved scans (SOS Ns=1 per component) would
+        # otherwise surface as an opaque KeyError from scan_by_comp below
+        raise NotImplementedError("multi-scan (non-interleaved) JPEG not supported")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    if not all((c[1], c[2]) in ((1, 1), (2, 2)) or (c[1] == hmax and c[2] == vmax)
-               for c in comps):
-        raise NotImplementedError("only 4:4:4 / H2V2 4:2:0 sampling")
+    if not all(hmax % c[1] == 0 and vmax % c[2] == 0 for c in comps):
+        # the generic MCU loop + repeat-upsampling handles any divisor mix
+        # (4:4:4, 4:2:0, 4:2:2, …); non-divisor factors would produce an
+        # undersized upsampled plane and an opaque shape error
+        raise NotImplementedError("non-divisor JPEG sampling factors not supported")
 
     reader = _BitReader(b[scan_start:])
     mcu_w, mcu_h = 8 * hmax, 8 * vmax

@@ -285,6 +285,7 @@ def ivf_ann(
     n_probe: int = 4,
     iters: int = 3,
     assign: str = "auto",
+    rerank: str = "expr",
 ) -> DataFrame:
     """IVF-style approximate cosine top-k — the classic inverted-file index
     built with plain DataFrame ops:
@@ -319,7 +320,8 @@ def ivf_ann(
     # re-reads the base from source when the caller finally acts
     b.unpersist(blocking=False)
     return _ivf_score(
-        probes, lists.select("cluster", "bid", "v"), queries, k, query_id, vec_col
+        probes, lists.select("cluster", "bid", "v"), queries, k, query_id,
+        vec_col, impl=rerank,
     )
 
 
@@ -373,23 +375,69 @@ def _ivf_score(
     k: int,
     query_id: str,
     vec_col: str,
+    impl: str = "expr",
 ) -> DataFrame:
     """Exact cosine rerank inside the probed inverted lists → per-query
-    top-k (the shared tail of ivf_ann and ivf_ann_from_index)."""
+    top-k (the shared tail of ivf_ann and ivf_ann_from_index).
+
+    ``impl='expr'`` (default) scores with a sequential ``F.aggregate``
+    fold — bitwise DuckDB-replayable, the oracle gate's path.  Higher-order
+    lambdas are INTERPRETED and break whole-stage codegen (the 8×
+    pair-stream lesson), so ``impl='arrow'`` is the scale path: one
+    vectorized numpy row-dot per Arrow batch of candidate pairs, the same
+    treatment ``hyperplane_sketch_arrow`` gives the LSH sketches.  The two
+    differ only in float summation order (pairwise einsum vs sequential
+    fold, ≤ ~1 ulp on the dot), so ranks agree except on exact
+    cos_sim ties within that ulp — pytest-pinned rank-equal."""
+    if impl not in ("expr", "arrow"):
+        raise ValueError(impl)
     qv = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("q_v"))
-    dot = F.aggregate(
-        F.zip_with(F.col("q_v"), F.col("v"), lambda a, bb: a.cast("double") * bb.cast("double")),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    scored = (
+    pairs = (
         probes.join(lists, "cluster")
         .join(qv, "qid")
         .where(F.col("qid") != F.col("bid"))
-        .withColumn("cos_sim", dot / (_norm_col(F.col("q_v")) * _norm_col(F.col("v"))))
-        .select("qid", "bid", "cos_sim")
-        .distinct()
     )
+    if impl == "arrow":
+        import pyarrow as pa
+
+        def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                tbl = pa.Table.from_batches([rb])
+                qids, Q = _arrow_vec_matrix(tbl, "qid", "q_v")
+                bids, V = _arrow_vec_matrix(tbl, "bid", "v")
+                dots = np.einsum("ij,ij->i", Q, V)
+                sims = dots / (
+                    np.linalg.norm(Q, axis=1) * np.linalg.norm(V, axis=1)
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(qids, pa.int64()),
+                        pa.array(bids, pa.int64()),
+                        pa.array(sims, pa.float64()),
+                    ],
+                    names=["qid", "bid", "cos_sim"],
+                )
+
+        scored = (
+            pairs.select("qid", "bid", "q_v", "v")
+            .mapInArrow(gen, "qid long, bid long, cos_sim double")
+            .distinct()
+        )
+    else:
+        dot = F.aggregate(
+            F.zip_with(F.col("q_v"), F.col("v"), lambda a, bb: a.cast("double") * bb.cast("double")),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        scored = (
+            pairs.withColumn(
+                "cos_sim", dot / (_norm_col(F.col("q_v")) * _norm_col(F.col("v")))
+            )
+            .select("qid", "bid", "cos_sim")
+            .distinct()
+        )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("bid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -447,6 +495,7 @@ def ivf_ann_from_index(
     vec_col: str = "embedding",
     n_probe: int = 4,
     assign: str = "auto",
+    rerank: str = "expr",
 ) -> DataFrame:
     """Approximate cosine top-k against a PERSISTED ivf_index_write index:
     load the (tiny) quantizer, assign each query its ``n_probe`` nearest
@@ -473,7 +522,7 @@ def ivf_ann_from_index(
     lists = spark.read.parquet(f"{path}/lists").where(
         F.col("cluster").isin([int(c) for c in probed])
     )
-    out = _ivf_score(probes, lists, queries, k, query_id, vec_col)
+    out = _ivf_score(probes, lists, queries, k, query_id, vec_col, impl=rerank)
     from gstools_core_spark.operators.cache import track
 
     track(probes)  # released via cache.clear_tracked() between jobs

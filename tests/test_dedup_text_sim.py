@@ -180,6 +180,30 @@ def test_ivf_ann_full_probe_is_exact(spark):
     assert e == i  # probing every cluster = exact
 
 
+def test_ivf_rerank_arrow_matches_expr(spark):
+    """rerank='arrow' (vectorized numpy row-dots, round-6 optimization —
+    the expr fold is an interpreted higher-order lambda that breaks
+    whole-stage codegen) must be RANK-EQUAL to the expr path: same
+    (qid, bid, rank) triples, cos_sim within 1e-12 (the two differ only
+    in float summation order, ≤ ~1 ulp on the dot)."""
+    rng = np.random.default_rng(13)
+    base_v = rng.normal(size=(150, 16))
+    base = _emb_df(spark, base_v)
+    queries = _emb_df(spark, base_v[:8], id0=0)
+    kw = dict(
+        k=4, query_id="vec_id", base_id="vec_id",
+        n_clusters=8, n_probe=3, iters=2,
+    )
+    expr = SIM.ivf_ann(queries, base, **kw).collect()
+    arrow = SIM.ivf_ann(queries, base, rerank="arrow", **kw).collect()
+    e = {(r["qid"], r["bid"]): (r["rank"], r["cos_sim"]) for r in expr}
+    a = {(r["qid"], r["bid"]): (r["rank"], r["cos_sim"]) for r in arrow}
+    assert set(e) == set(a)
+    for key, (rk, cs) in e.items():
+        assert a[key][0] == rk
+        assert abs(a[key][1] - cs) < 1e-12
+
+
 def test_ivf_ann_partial_probe_recall(spark):
     rng = np.random.default_rng(9)
     base_v = rng.normal(size=(200, 8))

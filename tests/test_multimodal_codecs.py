@@ -212,6 +212,66 @@ def test_jpeg_single_component_ignores_sampling_factors():
     np.testing.assert_array_equal(got, want)
 
 
+def test_jpeg_bit_accumulators_stay_bounded():
+    """The scan bit accumulators must trim consumed bits: without the
+    masks they grow into unbounded Python bigints and encode/decode turn
+    QUADRATIC in image size (measured ~18× time for 4× pixels before the
+    round-6 fix).  Pin acc.bit_length() directly on both classes, plus a
+    loose wall bound on a realistic-size round trip."""
+    import time
+
+    from gstools_core_spark.functions.jpeg import _BitReader, _BitWriter
+
+    w = _BitWriter()
+    for i in range(50_000):
+        w.write(i & 0x3FF, 10)
+        assert w.acc.bit_length() <= 8  # < one byte pending after emit
+    stream = w.flush()
+
+    r = _BitReader(stream)
+    for _ in range(50_000):
+        r.read_bits(10)
+        assert r.acc.bit_length() <= 40  # fill tops up to ≤ 32 live bits
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(256, 256), dtype=np.uint8)
+    t0 = time.time()
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img))
+    assert dec.shape == img.shape
+    # pre-fix this round trip took ~1.2 s and 512² took ~22 s; the bound
+    # is loose (shared host) but still far below the quadratic regime
+    assert time.time() - t0 < 10.0
+
+
+def test_jpeg_validation_edges():
+    """Round-6 robustness gates: non-positive quality_scale raises
+    (all-1s quant tables can emit AC sizes the Annex-K tables lack);
+    0xFF fill bytes and standalone TEM markers between header segments
+    parse; non-divisor sampling mixes raise cleanly."""
+    g = np.full((16, 16), 70, dtype=np.uint8)
+    with pytest.raises(ValueError, match="quality_scale"):
+        codecs.encode_jpeg(g, quality_scale=0)
+
+    payload = bytes(codecs.encode_jpeg(g))
+    # inject legal fill bytes + a TEM marker before the SOF segment
+    i = payload.find(b"\xff\xc0")
+    padded = payload[:i] + b"\xff\xff\xff\x01" + payload[i:]
+    np.testing.assert_array_equal(
+        codecs.decode_jpeg(padded), codecs.decode_jpeg(payload)
+    )
+
+    # RGB payload with a non-divisor sampling mix (hs=2 under hmax=3)
+    rgb = np.full((16, 16, 3), 90, dtype=np.uint8)
+    p = bytearray(codecs.encode_jpeg(rgb))
+    j = bytes(p).find(b"\xff\xc0")
+    hv_off = j + 2 + 2 + 1 + 2 + 2 + 1 + 1  # first component's hv byte
+    assert p[hv_off] == 0x11  # our encoder writes 4:4:4
+    p[hv_off] = 0x33  # luma 3×3 → hmax=3
+    p[hv_off + 3] = 0x22  # chroma 2×2: 3 % 2 != 0 — non-divisor mix
+    with pytest.raises(NotImplementedError, match="sampling"):
+        codecs.decode_jpeg(bytes(p))
+
+
 def test_png_truncated_crc_raises_value_error():
     """A payload cut inside a chunk's 4-byte CRC must raise the codec's
     ValueError, not leak struct.error."""
