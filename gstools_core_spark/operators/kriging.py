@@ -23,7 +23,6 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -509,9 +508,12 @@ def krige(
     if salt_hot or group_cells == "auto":
         cell_counts = cell_count_df(t, jkeys)
         # persist when ≥2 plan-time consumers will aggregate it (auto
-        # grouping's summary/keep-fine; the auto-threshold sum + hot-set
-        # collect) — each would otherwise re-scan the targets
-        if group_cells == "auto" or hot_threshold == "auto":
+        # grouping's summary/keep-fine + salting's hot-set collect) —
+        # each would otherwise re-scan the targets.  The auto fair-share
+        # threshold no longer consumes it (its total comes from t.count(),
+        # see below), so an explicit group_cells int + salt_hot runs ONE
+        # aggregate over the counts and skips the persist round-trip.
+        if group_cells == "auto":
             cell_counts = cell_counts.persist()
             persisted = True
     if group_cells == "auto":
@@ -534,10 +536,15 @@ def krige(
         # unchanged: the decision is data-driven, not scale-tuned.
         if hot_threshold == "auto":
             # fair-share rule (see docstring): hot = bigger than one
-            # shuffle partition's average target load
+            # shuffle partition's average target load.  `total` is the sum
+            # of the per-cell counts ≡ the target ROW COUNT, so take it
+            # from a single-stage t.count() (64 map tasks, no exchange)
+            # instead of aggregating the shuffled counts DF — the tiny-row
+            # exchange dominated that job (measured 0.7-1.6 s vs ~0.15 s
+            # at sf0.1; round-6 stats-pass profile)
             spark = targets.sparkSession
             shp = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            total = cell_counts.agg(F.sum("_hot_n")).collect()[0][0] or 0
+            total = t.count()
             hot_threshold = max(256, int(total / max(shp, par, 1)))
         hot_df = _literal_cells(
             top_hot_cells(cell_counts, jkeys, hot_threshold, cap).select(*jkeys),
@@ -589,30 +596,82 @@ def krige(
         + ", ".join(f"{tc} double" for tc in t_cols)
         + ", krige_mean double, krige_var double, n_cond long"
     )
+    out_names = ["tid", *t_cols, "krige_mean", "krige_var", "n_cond"]
+    in_t_cols = ["tid", *t_cols, *td_cols]
+    in_c_cols = [*c_cols, *cd_cols, "cval"]
 
-    def solve_cell(key, t_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+    # ---- Arrow-native cogroup plumbing (round-6 optimization) ----------
+    # The solvers take/return plain dicts of numpy arrays; one Arrow→numpy
+    # conversion per GROUP replaces the per-group pandas DataFrame
+    # round-trip (applyInPandas) and — in the super-grouped path — the
+    # per-FINE-CELL pandas slicing + DataFrame construction + pd.concat,
+    # which at ~0.5-1 ms/cell was a measurable serial term (1,600 cells in
+    # the sf0.1 headline krige).  Values are bitwise unchanged: the float64
+    # buffers pass through untouched and every numeric path below is the
+    # same numpy code operating on the same arrays in the same order.
+
+    def _tbl_cols(tbl, cols) -> dict:
+        out = {}
+        for cn in cols:
+            col = tbl.column(cn)
+            if hasattr(col, "combine_chunks"):  # ChunkedArray → Array
+                col = col.combine_chunks()
+            out[cn] = col.to_numpy(zero_copy_only=False)
+        return out
+
+    def _empty_out() -> dict:
+        return {
+            "tid": np.empty(0, np.int64),
+            **{tc: np.empty(0, np.float64) for tc in t_cols},
+            "krige_mean": np.empty(0, np.float64),
+            "krige_var": np.empty(0, np.float64),
+            "n_cond": np.empty(0, np.int64),
+        }
+
+    def _out_table(dd: dict):
+        import pyarrow as pa
+
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.ascontiguousarray(dd["tid"], dtype=np.int64), type=pa.int64()),
+                *[
+                    pa.array(
+                        np.ascontiguousarray(dd[tc], dtype=np.float64),
+                        type=pa.float64(),
+                    )
+                    for tc in t_cols
+                ],
+                pa.array(np.ascontiguousarray(dd["krige_mean"], dtype=np.float64), type=pa.float64()),
+                pa.array(np.ascontiguousarray(dd["krige_var"], dtype=np.float64), type=pa.float64()),
+                pa.array(np.ascontiguousarray(dd["n_cond"], dtype=np.int64), type=pa.int64()),
+            ],
+            names=out_names,
+        )
+
+    def _stack(dd: dict, cols) -> np.ndarray:
+        # (n, len(cols)) float64 — same values pandas .to_numpy() produced
+        return np.stack([dd[cn].astype(np.float64, copy=False) for cn in cols], axis=1)
+
+    def solve_cell(key, tdat: dict, cdat: dict) -> dict:
         key = key[:n_block_keys]  # drop the _ksalt component when salted
-        if t_pdf.empty:
-            return pd.DataFrame(
-                columns=["tid", *t_cols, "krige_mean", "krige_var", "n_cond"]
-            )
-        T = t_pdf[t_cols].to_numpy(np.float64)  # (nt, d)
-        base = {"tid": t_pdf["tid"]}
+        nt0 = tdat["tid"].shape[0]
+        if nt0 == 0:
+            return _empty_out()
+        T = _stack(tdat, t_cols)  # (nt, d)
+        base = {"tid": tdat["tid"]}
         for k, tc in enumerate(t_cols):
             base[tc] = T[:, k]
-        if c_pdf.empty:
-            return pd.DataFrame(
-                {
-                    **base,
-                    "krige_mean": np.full(len(T), mu),
-                    "krige_var": np.full(len(T), sill),
-                    "n_cond": np.zeros(len(T), dtype=np.int64),
-                }
-            )
-        C_pts = c_pdf[c_cols].to_numpy(np.float64)  # (nc, d)
-        cv = c_pdf["cval"].to_numpy(np.float64)
-        C_ext = c_pdf[cd_cols].to_numpy(np.float64) if ext_n else None
-        T_ext = t_pdf[td_cols].to_numpy(np.float64) if ext_n else None
+        if cdat["cval"].shape[0] == 0:
+            return {
+                **base,
+                "krige_mean": np.full(len(T), mu),
+                "krige_var": np.full(len(T), sill),
+                "n_cond": np.zeros(len(T), dtype=np.int64),
+            }
+        C_pts = _stack(cdat, c_cols)  # (nc, d)
+        cv = cdat["cval"].astype(np.float64, copy=False)
+        C_ext = _stack(cdat, cd_cols) if ext_n else None
+        T_ext = _stack(tdat, td_cols) if ext_n else None
         # canonical cond order (coords ascending, then value, then any
         # external-drift columns — the knn path's rule extended), applied
         # UNCONDITIONALLY: within-group row order is shuffle-arrival
@@ -726,14 +785,12 @@ def krige(
                 - np.einsum("ij,ij->j", W[nc:], Ft),
                 0.0,
             )
-        return pd.DataFrame(
-            {
-                **base,
-                "krige_mean": est,
-                "krige_var": kvar,
-                "n_cond": np.full(len(T), nc, dtype=np.int64),
-            }
-        )
+        return {
+            **base,
+            "krige_mean": est,
+            "krige_var": kvar,
+            "n_cond": np.full(len(T), nc, dtype=np.int64),
+        }
 
     def drift_basis_b(P: np.ndarray, D: np.ndarray | None = None) -> np.ndarray:
         # (m, n, d) [+ (m, n, ext_n)] → (m, nd, n)
@@ -747,24 +804,22 @@ def krige(
             rows += [D[:, :, j] for j in range(ext_n)]
         return np.stack(rows, axis=1)
 
-    def solve_cell_knn(key, t_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
-        if t_pdf.empty:
-            return pd.DataFrame(
-                columns=["tid", *t_cols, "krige_mean", "krige_var", "n_cond"]
-            )
-        T = t_pdf[t_cols].to_numpy(np.float64)
+    def solve_cell_knn(key, tdat: dict, cdat: dict) -> dict:
+        if tdat["tid"].shape[0] == 0:
+            return _empty_out()
+        T = _stack(tdat, t_cols)
         nt = len(T)
-        base = {"tid": t_pdf["tid"]}
+        base = {"tid": tdat["tid"]}
         for kk, tc in enumerate(t_cols):
             base[tc] = T[:, kk]
-        T_ext = t_pdf[td_cols].to_numpy(np.float64) if ext_n else None
+        T_ext = _stack(tdat, td_cols) if ext_n else None
         est = np.full(nt, mu)
         kvar = np.full(nt, sill)
         ncond = np.zeros(nt, dtype=np.int64)
-        if not c_pdf.empty:
-            C_pts = c_pdf[c_cols].to_numpy(np.float64)
-            cv = c_pdf["cval"].to_numpy(np.float64)
-            C_ext = c_pdf[cd_cols].to_numpy(np.float64) if ext_n else None
+        if cdat["cval"].shape[0] != 0:
+            C_pts = _stack(cdat, c_cols)
+            cv = cdat["cval"].astype(np.float64, copy=False)
+            C_ext = _stack(cdat, cd_cols) if ext_n else None
             # canonical cond order (coords ascending, then value): stable
             # argsort then breaks distance ties by coordinates, not by
             # shuffle arrival; cval is the final key so two conditioning
@@ -859,11 +914,14 @@ def krige(
                             0.0,
                         )
                     ncond[G] = q
-        return pd.DataFrame(
-            {**base, "krige_mean": est, "krige_var": kvar, "n_cond": ncond}
-        )
+        return {**base, "krige_mean": est, "krige_var": kvar, "n_cond": ncond}
 
     base_fn = solve_cell_knn if knn is not None else solve_cell
+
+    def _as_py_key(key) -> tuple:
+        # applyInArrow passes pyarrow Scalars; the solvers do arithmetic
+        # on the key components (geo cell centers)
+        return tuple(k.as_py() if hasattr(k, "as_py") else k for k in key)
 
     if mult > 1:
         fine = jkeys[:d_block]
@@ -916,36 +974,76 @@ def krige(
         # _ksalt (and the fine/super disambiguation flag) stay group keys
         group_keys = skeys + flag_keys + jkeys[d_block:]
 
-        def solve_super(key, t_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        def _cell_slices(dd: dict):
+            # stable lexsort by the fine keys: cells ascend by key, rows
+            # keep arrival order within a cell — exactly the iteration
+            # order pandas groupby(fine, sort=True) produced, so per-cell
+            # inputs (and the output row order) are bitwise unchanged
+            n = dd[fine[0]].shape[0]
+            order = np.lexsort(tuple(dd[f] for f in reversed(fine)))
+            change = np.zeros(max(n - 1, 0), dtype=bool)
+            for f in fine:
+                kf = dd[f][order]
+                change |= kf[1:] != kf[:-1]
+            starts = np.flatnonzero(np.concatenate(([True], change)))
+            ends = np.append(starts[1:], n)
+            return order, starts, ends
+
+        def solve_super(key, t_tbl, c_tbl):
             # iterate the fine blocking cells inside ONE cogroup group:
             # identical (cell, targets, ring) triples reach base_fn, so
-            # the per-cell outputs are bitwise the mult=1 outputs
-            if t_pdf.empty:
-                return pd.DataFrame(
-                    columns=["tid", *t_cols, "krige_mean", "krige_var", "n_cond"]
-                )
-            empty_c = c_pdf.iloc[0:0]
-            cmap = (
-                {k: v for k, v in c_pdf.groupby(fine, sort=True)}
-                if not c_pdf.empty
-                else {}
-            )
+            # the per-cell outputs are bitwise the mult=1 outputs.  All
+            # slicing is numpy (no per-cell pandas frames, no pd.concat).
+            if t_tbl.num_rows == 0:
+                return _out_table(_empty_out())
+            tdat = _tbl_cols(t_tbl, in_t_cols + fine)
+            t_ord, t_st, t_en = _cell_slices(tdat)
+            c_index: dict = {}
+            cdat = None
+            if c_tbl.num_rows:
+                cdat = _tbl_cols(c_tbl, in_c_cols + fine)
+                c_ord, c_st, c_en = _cell_slices(cdat)
+                for i in range(len(c_st)):
+                    r0 = c_ord[c_st[i]]
+                    kk = tuple(int(cdat[f][r0]) for f in fine)
+                    c_index[kk] = c_ord[c_st[i] : c_en[i]]
+            empty_c = {cn: np.empty(0, np.float64) for cn in in_c_cols}
             outs = []
-            for k, tsub in t_pdf.groupby(fine, sort=True):
-                kk = k if isinstance(k, tuple) else (k,)
-                outs.append(base_fn(kk, tsub, cmap.get(k, empty_c)))
-            return pd.concat(outs, ignore_index=True)
+            for i in range(len(t_st)):
+                rows = t_ord[t_st[i] : t_en[i]]
+                kk = tuple(int(tdat[f][rows[0]]) for f in fine)
+                tsub = {cn: tdat[cn][rows] for cn in in_t_cols}
+                crows = c_index.get(kk)
+                csub = (
+                    empty_c
+                    if crows is None
+                    else {cn: cdat[cn][crows] for cn in in_c_cols}
+                )
+                outs.append(base_fn(kk, tsub, csub))
+            return _out_table(
+                {cn: np.concatenate([o[cn] for o in outs]) for cn in out_names}
+            )
 
         out = (
             t.groupBy(*group_keys)
             .cogroup(c.groupBy(*group_keys))
-            .applyInPandas(solve_super, out_schema)
+            .applyInArrow(solve_super, out_schema)
         )
     else:
+
+        def run_cell(key, t_tbl, c_tbl):
+            return _out_table(
+                base_fn(
+                    _as_py_key(key),
+                    _tbl_cols(t_tbl, in_t_cols),
+                    _tbl_cols(c_tbl, in_c_cols),
+                )
+            )
+
         out = (
             t.groupBy(*jkeys)
             .cogroup(c.groupBy(*jkeys))
-            .applyInPandas(base_fn, out_schema)
+            .applyInArrow(run_cell, out_schema)
         )
     return out.select(
         F.col("tid").alias(target_id),
