@@ -449,26 +449,42 @@ def rasterize_tiles(
         .select("tile_x", "tile_y", "_cx", "_cy", F.col(value_col).alias("_v"))
     )
 
-    def to_grid(pdf: pd.DataFrame) -> pd.DataFrame:
+    def to_grid(tbl):
+        # Arrow-native grouped map (round-6: same treatment as the kriging
+        # cogroup — no per-tile pandas frame).  Row order is the Arrow
+        # arrival order, identical to what applyInPandas delivered, so the
+        # np.add.at accumulation order — and the tile means — are bitwise
+        # unchanged.
+        import pyarrow as pa
+
+        def col(name):
+            c = tbl.column(name)
+            return (c.combine_chunks() if hasattr(c, "combine_chunks") else c).to_numpy(
+                zero_copy_only=False
+            )
+
+        tx = col("tile_x")
+        ty = col("tile_y")
         grid = np.full((tc, tc), np.nan)
         counts = np.zeros((tc, tc))
         sums = np.zeros((tc, tc))
-        ix = (pdf["_cx"] - pdf["tile_x"].iloc[0] * tc).to_numpy(np.int64)
-        iy = (pdf["_cy"] - pdf["tile_y"].iloc[0] * tc).to_numpy(np.int64)
-        np.add.at(sums, (ix, iy), pdf["_v"].to_numpy(np.float64))
+        ix = (col("_cx") - tx[0] * tc).astype(np.int64)
+        iy = (col("_cy") - ty[0] * tc).astype(np.int64)
+        np.add.at(sums, (ix, iy), col("_v").astype(np.float64, copy=False))
         np.add.at(counts, (ix, iy), 1.0)
         nz = counts > 0
         grid[nz] = sums[nz] / counts[nz]
-        return pd.DataFrame(
-            {
-                "tile_x": [int(pdf["tile_x"].iloc[0])],
-                "tile_y": [int(pdf["tile_y"].iloc[0])],
-                "n_points": [int(len(pdf))],
-                "grid": [grid.tolist()],
-            }
+        return pa.Table.from_arrays(
+            [
+                pa.array([int(tx[0])], type=pa.int64()),
+                pa.array([int(ty[0])], type=pa.int64()),
+                pa.array([tbl.num_rows], type=pa.int64()),
+                pa.array([grid.tolist()], type=pa.list_(pa.list_(pa.float64()))),
+            ],
+            names=["tile_x", "tile_y", "n_points", "grid"],
         )
 
-    return staged.groupBy("tile_x", "tile_y").applyInPandas(
+    return staged.groupBy("tile_x", "tile_y").applyInArrow(
         to_grid,
         "tile_x long, tile_y long, n_points long, grid array<array<double>>",
     )
