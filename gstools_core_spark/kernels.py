@@ -99,6 +99,33 @@ def haversine_dist(pos_a: np.ndarray, pos_b: np.ndarray) -> np.ndarray:
     return 2.0 * np.arctan2(np.sqrt(arg), np.sqrt(1.0 - arg))
 
 
+def haversine_dist_coslat(
+    pos_a: np.ndarray,
+    pos_b: np.ndarray,
+    cos_a: np.ndarray,
+    cos_b: np.ndarray,
+) -> np.ndarray:
+    """:func:`haversine_dist` with the per-POINT ``cos(radians(lat))``
+    factors precomputed by the caller (``cos_x = np.cos(np.radians(lat_x))``
+    broadcast to the pair shape).
+
+    Bitwise identical to haversine_dist: the cosine is a per-point
+    quantity evaluated per PAIR there — hoisting it runs the same ufunc on
+    the same inputs once per point instead of once per pair, and every
+    remaining operation keeps the exact operand order
+    (``sdlat² + ((cos_a·cos_b)·sdlon)·sdlon``, left-associated).  On the
+    kriging neighborhood blocks the two trig evaluations per pair were
+    ~69% of the Python-worker time (round-6 UDF profile); this removes
+    the O(pairs) share of them.  Pinned bitwise-equal in
+    tests/test_property_kernels.py."""
+    dlat = np.radians(pos_a[0] - pos_b[0])
+    dlon = np.radians(pos_a[1] - pos_b[1])
+    sdlat = np.sin(dlat / 2.0)
+    sdlon = np.sin(dlon / 2.0)
+    arg = np.minimum(sdlat * sdlat + cos_a * cos_b * sdlon * sdlon, 1.0)
+    return 2.0 * np.arctan2(np.sqrt(arg), np.sqrt(1.0 - arg))
+
+
 def dir_test(
     direction: np.ndarray,
     diff: np.ndarray,

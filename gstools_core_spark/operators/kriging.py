@@ -303,8 +303,12 @@ def auto_group_plan(
 def _pairwise_hav(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """(na, 2) × (nb, 2) (lat, lon degrees) → central angle in RADIANS,
     broadcast through the golden-pinned kernel (operation order identical
-    to variogram.rs:107-118)."""
-    return K.haversine_dist(A.T[:, :, None], B.T[:, None, :])
+    to variogram.rs:107-118).  The per-point cos(lat) factors are hoisted
+    out of the pair broadcast (haversine_dist_coslat — bitwise identical,
+    ~2 of the ~7 transcendental ops per pair become O(points))."""
+    ca = np.cos(np.radians(A[:, 0]))[:, None]
+    cb = np.cos(np.radians(B[:, 0]))[None, :]
+    return K.haversine_dist_coslat(A.T[:, :, None], B.T[:, None, :], ca, cb)
 
 
 def _solve1(A: np.ndarray, y: np.ndarray) -> np.ndarray:
@@ -869,7 +873,13 @@ def krige(
                     P_b = C_pts[idx]  # (m, q, d)
                     if geo_grid is not None:
                         A2 = P_b.transpose(2, 0, 1)  # (2, m, q)
-                        D_b = K.haversine_dist(A2[:, :, :, None], A2[:, :, None, :])
+                        cb_q = np.cos(np.radians(A2[0]))  # (m, q) per-point
+                        D_b = K.haversine_dist_coslat(
+                            A2[:, :, :, None],
+                            A2[:, :, None, :],
+                            cb_q[:, :, None],
+                            cb_q[:, None, :],
+                        )
                     else:
                         dd = P_b[:, :, None, :] - P_b[:, None, :, :]
                         D_b = np.sqrt(np.sum(dd * dd, axis=3))

@@ -182,3 +182,23 @@ def test_morton_bit_roundtrip(ix, iy):
         rx |= ((m >> (2 * b)) & 1) << b
         ry |= ((m >> (2 * b + 1)) & 1) << b
     assert (rx, ry) == (ix, iy)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    a=arrays(np.float64, (7, 2), elements=st.floats(-89.0, 89.0)),
+    b=arrays(np.float64, (5, 2), elements=st.floats(-89.0, 89.0)),
+)
+def test_haversine_coslat_bitwise_equals_plain(a, b):
+    """haversine_dist_coslat (round-6: per-point cos(lat) hoisted out of
+    the pair broadcast) must be BITWISE equal to haversine_dist — the
+    kriging bitwise-invariance pins and the geo oracle hashes rest on the
+    two being the same function."""
+    # map the second column into lon range
+    a[:, 1] *= 2.0
+    b[:, 1] *= 2.0
+    want = K.haversine_dist(a.T[:, :, None], b.T[:, None, :])
+    ca = np.cos(np.radians(a[:, 0]))[:, None]
+    cb = np.cos(np.radians(b[:, 0]))[None, :]
+    got = K.haversine_dist_coslat(a.T[:, :, None], b.T[:, None, :], ca, cb)
+    np.testing.assert_array_equal(got, want)
